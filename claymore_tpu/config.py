@@ -1,0 +1,116 @@
+"""Simulation configuration.
+
+TPU-native re-design of the reference's compile-time ``constexpr`` config
+namespace (reference: Projects/GMPM/settings.h:33-96 and
+Projects/MGSP/settings.h:30-119).  Everything that was a C++ template
+parameter becomes a frozen dataclass field here; JAX re-traces when a field
+changes, which plays the role of template re-instantiation.
+
+All shapes derived from this config are static so every step stays inside a
+single jitted computation (no host round trips for capacity management; the
+reference's capacity-growth heuristics, gmpm_simulator.cuh:283-300, become
+fixed capacities chosen up front).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation configuration (one per compiled engine)."""
+
+    # --- background grid geometry (reference settings.h:56-72) ---
+    domain_bits: int = 8          # grid resolution = 2**domain_bits per axis
+    block_bits: int = 2           # cells per block edge = 2**block_bits (4^3 blocks)
+
+    # --- capacities (static shapes; reference settings.h:88-94) ---
+    max_active_blocks: int = 8192     # sparse grid pool capacity (blocks)
+    particle_tile: int = 256          # particles per compute tile (lane-friendly)
+    max_tiles: int = 0                # 0 -> derived from particle capacity at init
+
+    # --- transfer scheme ---
+    ppc: float = 8.0              # particles per cell used for default volumes
+    cfl: float = 0.5
+
+    # --- physics ---
+    gravity: tuple[float, float, float] = (0.0, -9.8, 0.0)
+    bound_blocks: int = 2         # sticky slab thickness in blocks at domain faces
+    # (reference G_BOUNDARY_CONDITION = 2, settings.h:63)
+
+    # --- stepping ---
+    default_dt: float = 1e-4
+    fps: int = 24
+
+    # ----- derived geometry -----
+    @cached_property
+    def domain_size(self) -> int:
+        """Cells per axis (reference G_DOMAIN_SIZE)."""
+        return 1 << self.domain_bits
+
+    @cached_property
+    def dx(self) -> float:
+        return 1.0 / float(1 << self.domain_bits)
+
+    @cached_property
+    def dx_inv(self) -> float:
+        return float(1 << self.domain_bits)
+
+    @cached_property
+    def d_inv(self) -> float:
+        """APIC inertia-tensor inverse for quadratic B-splines: 4/dx^2
+        (reference G_D_INV, settings.h:66)."""
+        return 4.0 * self.dx_inv * self.dx_inv
+
+    @cached_property
+    def block_size(self) -> int:
+        """Cells per block edge (reference G_BLOCKSIZE = 4)."""
+        return 1 << self.block_bits
+
+    @cached_property
+    def block_volume(self) -> int:
+        return self.block_size ** 3
+
+    @cached_property
+    def grid_size(self) -> int:
+        """Blocks per axis (reference G_GRID_SIZE = 64 at 256^3)."""
+        return 1 << (self.domain_bits - self.block_bits)
+
+    @cached_property
+    def num_table_entries(self) -> int:
+        return self.grid_size ** 3
+
+    @cached_property
+    def null_block(self) -> int:
+        """Pool slot absorbing writes to / reads from inactive blocks."""
+        return self.max_active_blocks
+
+    def tiles_for(self, num_particles: int) -> int:
+        """Static tile capacity for a model of ``num_particles``.
+
+        Each active block wastes at most (tile-1) slots of padding, so the
+        bound is ceil(P/tile) + max_active_blocks; in practice far fewer
+        blocks hold particles, so we use a cheaper heuristic with headroom.
+        """
+        if self.max_tiles:
+            return self.max_tiles
+        base = -(-num_particles // self.particle_tile)
+        # particle-occupied blocks <= P / (ppc * block_volume) in steady state;
+        # allow 2x for transient spreading.
+        blocks = max(1, int(2 * num_particles / (self.ppc * self.block_volume)))
+        return base + min(blocks, self.max_active_blocks)
+
+    def default_volume(self) -> float:
+        """Per-particle volume at the nominal particles-per-cell."""
+        return (self.dx ** 3) / self.ppc
+
+    def frame_dt(self) -> float:
+        return 1.0 / float(self.fps)
+
+    def __post_init__(self):
+        assert self.domain_bits > self.block_bits >= 1
+        assert self.max_active_blocks >= 1
+        assert math.log2(self.particle_tile) == int(math.log2(self.particle_tile))
