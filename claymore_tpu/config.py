@@ -98,9 +98,10 @@ class SimConfig:
         if self.max_tiles:
             return self.max_tiles
         base = -(-num_particles // self.particle_tile)
-        # particle-occupied blocks <= P / (ppc * block_volume) in steady state;
-        # allow 2x for transient spreading.
-        blocks = max(1, int(2 * num_particles / (self.ppc * self.block_volume)))
+        # every particle-occupied block wastes < 1 tile of padding; occupied
+        # blocks ~ P/(ppc*block_volume) for a solid body but surface blocks
+        # are partially filled, so allow 4x plus a floor for tiny models.
+        blocks = max(64, int(4 * num_particles / (self.ppc * self.block_volume)))
         return base + min(blocks, self.max_active_blocks)
 
     def default_volume(self) -> float:

@@ -1,0 +1,56 @@
+"""Debug / validation helpers (reference check_table, check_partition,
+sum_grid_mass, sum_particle_counts — Projects/GMPM/mgmpm_kernels.cuh:1023-1085)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SimConfig
+from ..core.partition import unflatten_key
+from ..core.types import Partition, SimState
+
+
+def pool_to_dense(cfg: SimConfig, state: SimState):
+    """Expand the sparse block pool to dense (m, mom) grids for testing."""
+    n = cfg.domain_size
+    bs = cfg.block_size
+    m = np.zeros((n, n, n), np.float64)
+    mom = np.zeros((n, n, n, 3), np.float64)
+    pool = np.asarray(state.grid, np.float64)
+    keys = np.asarray(state.partition.keys)
+    count = int(state.partition.count)
+    coords = np.asarray(unflatten_key(cfg, state.partition.keys))
+    for s in range(count):
+        bx, by, bz = coords[s] * bs
+        blk = pool[s].reshape(4, bs, bs, bs)
+        m[bx : bx + bs, by : by + bs, bz : bz + bs] = blk[0]
+        mom[bx : bx + bs, by : by + bs, bz : bz + bs] = np.moveaxis(blk[1:4], 0, -1)
+    return m, mom
+
+
+def check_partition(cfg: SimConfig, partition: Partition) -> None:
+    """Key <-> slot round trip (reference check_table / check_partition)."""
+    keys = np.asarray(partition.keys)
+    table = np.asarray(partition.table)
+    count = int(partition.count)
+    assert int(partition.overflow) == 0
+    for s in range(count):
+        assert keys[s] < cfg.num_table_entries
+        assert table[keys[s]] == s, (s, keys[s], table[keys[s]])
+    assert np.all(keys[count:] == cfg.num_table_entries)
+    live = table[table != cfg.null_block]
+    assert live.size == count
+
+
+def check_tiles(cfg: SimConfig, state: SimState, model_idx: int = 0) -> None:
+    """Every active particle appears in exactly one tile lane; tile home
+    blocks match the partition."""
+    m = state.models[model_idx]
+    tm = m.tiles
+    pidx = np.asarray(tm.pidx)
+    valid = np.asarray(tm.valid)
+    active = np.asarray(m.active)
+    seen = pidx[valid]
+    assert len(seen) == len(set(seen.tolist())), "duplicate particle in tiles"
+    assert int(tm.dropped) == 0
+    assert set(seen.tolist()) == set(np.nonzero(active)[0].tolist())

@@ -1,0 +1,161 @@
+"""Independent dense-grid float64 MPM reference for equivalence testing.
+
+Plain numpy, per-particle loops, dense 3-D grid — deliberately shares no code
+with the engine.  Implements the same physics as the reference's fused kernel
+chain (Projects/GMPM/mgmpm_kernels.cuh:326-937) so an engine substep can be
+checked against it on small scenes (SURVEY.md section 4 test strategy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def signed_svd3(f):
+    u, s, vt = np.linalg.svd(f)
+    v = vt.T
+    if np.linalg.det(u) < 0:
+        u[:, 2] *= -1
+        s[2] *= -1
+    if np.linalg.det(v) < 0:
+        v[:, 2] *= -1
+        s[2] *= -1
+    return u, s, v
+
+
+def bspline_w(d):
+    """d in [0.5, 1.5]: weights for stencil cells base, base+1, base+2."""
+    return np.array([
+        0.5 * (1.5 - d) ** 2,
+        0.75 - (d - 1.0) ** 2,
+        0.5 * (d - 0.5) ** 2,
+    ])
+
+
+def fixed_corotated_contrib(f, e, nu, volume):
+    lam = e * nu / ((1 + nu) * (1 - 2 * nu))
+    mu = e / (2 * (1 + nu))
+    u, s, v = signed_svd3(f)
+    j = s[0] * s[1] * s[2]
+    sl = lam * (j - 1.0)
+    p_hat = np.array([
+        2 * mu * (s[0] - 1) + sl * s[1] * s[2],
+        2 * mu * (s[1] - 1) + sl * s[0] * s[2],
+        2 * mu * (s[2] - 1) + sl * s[0] * s[1],
+    ])
+    p = u @ np.diag(p_hat) @ v.T
+    return p @ f.T * volume
+
+
+def jfluid_contrib(jdet, a, d_inv, volume, bulk, gamma, viscosity):
+    voln = jdet * volume
+    pressure = bulk * (jdet ** (-gamma) - 1.0)
+    sym = (a + a.T) * d_inv * viscosity
+    return (sym - pressure * np.eye(3)) * voln
+
+
+class DenseMPM:
+    """Dense-grid explicit MLS-MPM, float64."""
+
+    def __init__(self, cfg, material):
+        self.cfg = cfg
+        self.mat = material
+        n = cfg.domain_size
+        self.grid_m = np.zeros((n, n, n))
+        self.grid_mom = np.zeros((n, n, n, 3))
+
+    def rasterize(self, pos, v0):
+        cfg = self.cfg
+        m = self.mat.mass
+        for p in range(pos.shape[0]):
+            x = pos[p]
+            base = np.floor(x * cfg.dx_inv + 0.5).astype(int) - 1
+            d = x * cfg.dx_inv - base
+            w = [bspline_w(d[k]) for k in range(3)]
+            for i in range(3):
+                for jj in range(3):
+                    for k in range(3):
+                        wgt = w[0][i] * w[1][jj] * w[2][k]
+                        c = (base[0] + i, base[1] + jj, base[2] + k)
+                        self.grid_m[c] += m * wgt
+                        self.grid_mom[c] += m * wgt * np.asarray(v0)
+
+    def grid_update(self, dt, gravity):
+        cfg = self.cfg
+        n = cfg.domain_size
+        bs = cfg.block_size
+        bound = cfg.bound_blocks
+        g = cfg.grid_size
+        v = np.zeros_like(self.grid_mom)
+        mask = self.grid_m > 0
+        v[mask] = self.grid_mom[mask] / self.grid_m[mask][:, None]
+        # per-block sticky slab
+        idx = np.arange(n) // bs
+        near = (idx < bound) | (idx >= g - bound)
+        v[near, :, :, 0] = 0.0
+        v[:, near, :, 1] = 0.0
+        v[:, :, near, 2] = 0.0
+        v[mask] += np.asarray(gravity) * dt
+        v[~mask] = 0.0
+        self.grid_v = v
+        sq = np.sum(v * v, axis=-1)
+        return np.max(sq[mask]) if mask.any() else 0.0
+
+    def g2p2g(self, pos, fields, dt, next_dt):
+        cfg = self.cfg
+        mat = self.mat
+        d_inv = cfg.d_inv
+        m = mat.mass
+        new_m = np.zeros_like(self.grid_m)
+        new_mom = np.zeros_like(self.grid_mom)
+        new_pos = pos.copy()
+        new_fields = {k: v.copy() for k, v in fields.items()}
+        for p in range(pos.shape[0]):
+            x = pos[p].astype(np.float64)
+            base = np.floor(x * cfg.dx_inv + 0.5).astype(int) - 1
+            d = x * cfg.dx_inv - base
+            w = [bspline_w(d[k]) for k in range(3)]
+            vel = np.zeros(3)
+            amat = np.zeros((3, 3))
+            for i in range(3):
+                for jj in range(3):
+                    for k in range(3):
+                        wgt = w[0][i] * w[1][jj] * w[2][k]
+                        cell = (base[0] + i, base[1] + jj, base[2] + k)
+                        xixp = (np.array(cell)) * cfg.dx - x
+                        vi = self.grid_v[cell]
+                        vel += wgt * vi
+                        amat += wgt * np.outer(vi, xixp)
+            xn = x + vel * dt
+
+            if mat.name == "fixed_corotated":
+                f = (np.eye(3) + dt * d_inv * amat) @ fields["F"][p]
+                contrib = fixed_corotated_contrib(f, mat.e, mat.nu, mat.volume)
+                new_fields["F"][p] = f
+            elif mat.name == "jfluid":
+                jd = fields["J"][p]
+                jd = jd + np.trace(amat) * dt * d_inv * jd
+                jd = max(jd, 0.1)
+                contrib = jfluid_contrib(
+                    jd, amat, d_inv, mat.volume, mat.bulk, mat.gamma, mat.viscosity
+                )
+                new_fields["J"][p] = jd
+            else:
+                raise NotImplementedError(mat.name)
+
+            q = (amat * m - contrib * next_dt) * d_inv
+            new_pos[p] = xn
+            base2 = np.floor(xn * cfg.dx_inv + 0.5).astype(int) - 1
+            d2 = xn * cfg.dx_inv - base2
+            w2 = [bspline_w(d2[k]) for k in range(3)]
+            for i in range(3):
+                for jj in range(3):
+                    for k in range(3):
+                        wgt = w2[0][i] * w2[1][jj] * w2[2][k]
+                        cell = (base2[0] + i, base2[1] + jj, base2[2] + k)
+                        xixp = np.array(cell) * cfg.dx - xn
+                        new_m[cell] += m * wgt
+                        new_mom[cell] += wgt * (m * vel + q @ xixp)
+        self.grid_m = new_m
+        self.grid_mom = new_mom
+        return new_pos, new_fields

@@ -1,0 +1,135 @@
+"""Engine correctness: equivalence vs the dense float64 reference,
+conservation properties, and partition/tile invariants (SURVEY.md section 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import claymore_tpu as cmt
+from claymore_tpu.io.sampler import sample_uniform_box_world
+from claymore_tpu.utils.debug import check_partition, check_tiles, pool_to_dense
+from tests.reference_dense import DenseMPM
+
+
+def small_setup(material, n_lo=0.45, n_hi=0.6, v0=(0.2, -0.3, 0.1)):
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
+    eng = cmt.MPMEngine(cfg, [material], tile_chunk=4)
+    pos = sample_uniform_box_world(cfg.dx, [n_lo] * 3, [n_hi] * 3, cfg.ppc)
+    state = eng.init_state([pos], [v0])
+    return cfg, eng, pos, state
+
+
+@pytest.mark.parametrize("mat_name", ["fixed_corotated", "jfluid"])
+def test_substep_matches_dense_reference(mat_name):
+    cfg0 = cmt.SimConfig(domain_bits=5)
+    if mat_name == "fixed_corotated":
+        mat = cmt.FixedCorotated(volume=cfg0.default_volume(), e=1e4, nu=0.3)
+    else:
+        mat = cmt.JFluid(volume=cfg0.default_volume())
+    cfg, eng, pos, state = small_setup(mat)
+
+    ref = DenseMPM(cfg, mat)
+    ref.rasterize(pos.astype(np.float64), (0.2, -0.3, 0.1))
+
+    # engine initial grid == reference initial grid
+    m0, mom0 = pool_to_dense(cfg, state)
+    assert np.max(np.abs(m0 - ref.grid_m)) < 1e-5 * max(1, ref.grid_m.max())
+    assert np.max(np.abs(mom0 - ref.grid_mom)) < 1e-5
+
+    # run two engine substeps against the reference
+    rpos = pos.astype(np.float64)
+    rfields = {
+        k: np.asarray(v, np.float64) for k, v in state.models[0].fields.items()
+    }
+    frame_end = jnp.float32(1.0)
+    for _ in range(2):
+        dt = float(state.dt)
+        max_sq = ref.grid_update(dt, cfg.gravity)
+        next_dt = min(
+            cfg.default_dt,
+            cfg.dx * cfg.cfl / max(np.sqrt(max_sq), 1e-30) if max_sq > 0 else np.inf,
+        )
+        rpos, rfields = ref.g2p2g(rpos, rfields, dt, next_dt)
+        state = eng.substep(state, frame_end)
+        assert abs(float(state.dt) - next_dt) < 1e-9 * max(1.0, next_dt)
+
+        # particle positions match
+        epos = np.asarray(state.models[0].pos, np.float64)
+        assert np.max(np.abs(epos - rpos)) < 5e-6, np.max(np.abs(epos - rpos))
+        # fields match
+        for k in rfields:
+            ev = np.asarray(state.models[0].fields[k], np.float64)
+            assert np.max(np.abs(ev - rfields[k])) < 5e-4, (k,)
+        # grids match
+        em, emom = pool_to_dense(cfg, state)
+        scale = max(1.0, ref.grid_m.max())
+        assert np.max(np.abs(em - ref.grid_m)) < 2e-5 * scale
+        assert np.max(np.abs(emom - ref.grid_mom)) < 2e-4 * scale
+
+
+def test_mass_momentum_conservation_no_gravity():
+    cfg = cmt.SimConfig(
+        domain_bits=5, max_active_blocks=256, default_dt=5e-4,
+        gravity=(0.0, 0.0, 0.0),
+    )
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    eng = cmt.MPMEngine(cfg, [mat], tile_chunk=4)
+    pos = sample_uniform_box_world(cfg.dx, [0.4] * 3, [0.6] * 3, cfg.ppc)
+    state = eng.init_state([pos], [(0.3, 0.1, -0.2)])
+
+    n = pos.shape[0]
+    mass0 = n * mat.mass
+    mom0 = mass0 * np.array([0.3, 0.1, -0.2])
+
+    d = eng.diagnostics(state)
+    assert abs(d["grid_mass"] - mass0) < 1e-4 * mass0
+    assert np.max(np.abs(d["grid_momentum"] - mom0)) < 1e-4 * abs(mass0)
+
+    frame_end = jnp.float32(1.0)
+    for _ in range(10):
+        state = eng.substep(state, frame_end)
+    d = eng.diagnostics(state)
+    assert abs(d["grid_mass"] - mass0) < 1e-3 * mass0
+    assert np.max(np.abs(d["grid_momentum"] - mom0)) < 2e-3 * abs(mass0)
+    assert d["null_block_mass"] == 0.0
+    assert d["model0_active"] == n
+
+
+def test_partition_and_tile_invariants():
+    cfg0 = cmt.SimConfig(domain_bits=5)
+    mat = cmt.FixedCorotated(volume=cfg0.default_volume())
+    cfg, eng, pos, state = small_setup(mat)
+    check_partition(cfg, state.partition)
+    check_tiles(cfg, state)
+    frame_end = jnp.float32(1.0)
+    for _ in range(3):
+        state = eng.substep(state, frame_end)
+    check_partition(cfg, state.partition)
+    check_tiles(cfg, state)
+    # home-block binding: every particle's stencil lies inside its tile arena
+    from claymore_tpu.core.partition import home_block, lookup
+    hb = np.asarray(home_block(cfg, state.models[0].pos))
+    slot = np.asarray(lookup(cfg, state.partition.table, jnp.asarray(hb)))
+    tm = state.models[0].tiles
+    tslot = np.asarray(tm.block)
+    pidx = np.asarray(tm.pidx)
+    valid = np.asarray(tm.valid)
+    for t in range(pidx.shape[0]):
+        for l in range(pidx.shape[1]):
+            if valid[t, l]:
+                assert slot[pidx[t, l]] == tslot[t]
+
+
+def test_sand_nacc_run_stable():
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=2e-4)
+    for mat in (cmt.Sand(volume=cfg.default_volume(), e=1e4),
+                cmt.NACC(volume=cfg.default_volume(), e=1e4)):
+        eng = cmt.MPMEngine(cfg, [mat], tile_chunk=4)
+        pos = sample_uniform_box_world(cfg.dx, [0.45] * 3, [0.55] * 3, cfg.ppc)
+        state = eng.init_state([pos])
+        frame_end = jnp.float32(1.0)
+        for _ in range(5):
+            state = eng.substep(state, frame_end)
+        d = eng.diagnostics(state)
+        assert np.isfinite(d["grid_mass"]) and d["grid_mass"] > 0
+        assert np.all(np.isfinite(np.asarray(state.models[0].pos)))
