@@ -26,6 +26,130 @@ from . import transfer
 from .types import Partition, ParticleModel, SimState, TileMap
 
 
+def empty_partition(cfg: SimConfig) -> Partition:
+    return Partition(
+        table=jnp.full((cfg.num_table_entries + 1,), cfg.null_block, jnp.int32),
+        keys=jnp.full((cfg.max_active_blocks,), cfg.num_table_entries, jnp.int32),
+        count=jnp.zeros((1,), jnp.int32),
+        overflow=jnp.zeros((1,), jnp.int32),
+    )
+
+
+def init_impl(
+    cfg: SimConfig,
+    materials,
+    tile_counts,
+    tile_chunk: int,
+    pos_tuple,
+    active_tuple,
+    v0_tuple,
+) -> SimState:
+    """Jittable initial setup: partition + tiles + rasterized grid
+    (reference initial_setup, gmpm_simulator.cuh:637-781).  Runs per shard
+    under shard_map for the multi-chip engine."""
+    pool = jnp.zeros((cfg.max_active_blocks + 1, 4, cfg.block_volume), jnp.float32)
+    partition, pool = part.rebuild(
+        cfg, pool, empty_partition(cfg), tuple(pos_tuple), tuple(active_tuple)
+    )
+    models = []
+    for mat, pos, active, nt in zip(materials, pos_tuple, active_tuple, tile_counts):
+        n = pos.shape[0]
+        models.append(
+            ParticleModel(
+                pos=pos,
+                fields=mat.init_fields(n),
+                active=active,
+                tiles=part.build_tiles(cfg, partition, pos, active, nt),
+            )
+        )
+    for mat, model, v0 in zip(materials, models, v0_tuple):
+        pool = transfer.rasterize_model(
+            cfg, mat, partition.table, model,
+            jnp.asarray(v0, jnp.float32), pool, tile_chunk,
+        )
+    return SimState(
+        grid=pool,
+        partition=partition,
+        models=tuple(models),
+        dt=jnp.float32(cfg.default_dt),
+        max_vel=jnp.float32(0.0),
+        t=jnp.float32(0.0),
+        step=jnp.int32(0),
+    )
+
+
+def substep_impl(
+    cfg: SimConfig,
+    materials,
+    colliders,
+    tile_chunk: int,
+    state: SimState,
+    frame_end: jnp.ndarray,
+    comm=None,
+) -> SimState:
+    """One explicit MPM substep (reference main_loop body,
+    gmpm_simulator.cuh:326-578; MGSP variant mgsp_benchmark.cuh:361-559).
+
+    ``comm`` is the optional multi-chip hook (claymore_tpu.parallel.multi):
+      comm.reduce_max(x)                      — global CFL reduction (lax.pmax)
+      comm.exchange_halo(pool)                — receive neighbor halo slabs
+      comm.halo_mass_mask(slabs)              — block-activation mask from them
+      comm.add_halo(pool, partition, slabs)   — sum slabs into the new pool
+      comm.migrate(models, mats)              — particle migration
+    Single-chip passes comm=None and gets exactly the GMPM pipeline.
+    """
+    dt = state.dt
+
+    pool_v, max_vel_sqr = grid_ops.grid_update(
+        cfg, state.grid, state.partition, dt, colliders, state.t
+    )
+    if comm is not None:
+        max_vel_sqr = comm.reduce_max(max_vel_sqr)
+    t_after = state.t + dt
+    next_dt = grid_ops.compute_dt(cfg, max_vel_sqr, t_after, frame_end)
+
+    next_pool = jnp.zeros_like(state.grid)
+    new_models = []
+    for mat, model in zip(materials, state.models):
+        model, next_pool = transfer.g2p2g_model(
+            cfg, mat, pool_v, state.partition.table, model,
+            dt, next_dt, next_pool, tile_chunk,
+        )
+        new_models.append(model)
+
+    extra_mask = None
+    halo_slabs = None
+    if comm is not None:
+        halo_slabs = comm.exchange_halo(next_pool, state.partition)
+        new_models = comm.migrate(new_models, materials)
+        extra_mask = comm.halo_mass_mask(halo_slabs)
+
+    partition, next_pool = part.rebuild(
+        cfg, next_pool, state.partition,
+        tuple(m.pos for m in new_models),
+        tuple(m.active for m in new_models),
+        extra_mask=extra_mask,
+    )
+    if comm is not None:
+        next_pool = comm.add_halo(next_pool, partition, halo_slabs)
+
+    new_models = [
+        m._replace(tiles=part.build_tiles(cfg, partition, m.pos, m.active,
+                                          m.tiles.pidx.shape[0]))
+        for m in new_models
+    ]
+
+    return SimState(
+        grid=next_pool,
+        partition=partition,
+        models=tuple(new_models),
+        dt=next_dt,
+        max_vel=jnp.sqrt(max_vel_sqr),
+        t=t_after,
+        step=state.step + 1,
+    )
+
+
 class MPMEngine:
     """One compiled engine = (config, materials, colliders).
 
@@ -65,71 +189,22 @@ class MPMEngine:
         """Build the initial state: partition from particle home blocks, tile
         buckets, and rasterized grid mass/momentum (reference initial_setup,
         gmpm_simulator.cuh:637-781)."""
-        cfg = self.cfg
         assert len(model_positions) == len(self.materials)
         if model_velocities is None:
             model_velocities = [(0.0, 0.0, 0.0)] * len(self.materials)
 
-        models: List[ParticleModel] = []
-        self._num_tiles = []
         positions, actives = [], []
-        for mat, raw in zip(self.materials, model_positions):
+        self._num_tiles = []
+        for raw in model_positions:
             raw = np.asarray(raw, np.float32)
-            n = raw.shape[0]
-            pos = jnp.asarray(raw)
-            active = jnp.ones((n,), jnp.bool_)
-            nt = self._round_tiles(n)
-            self._num_tiles.append(nt)
-            models.append(
-                ParticleModel(
-                    pos=pos,
-                    fields=mat.init_fields(n),
-                    active=active,
-                    tiles=TileMap(  # placeholder, rebuilt below
-                        pidx=jnp.zeros((nt, cfg.particle_tile), jnp.int32),
-                        valid=jnp.zeros((nt, cfg.particle_tile), jnp.bool_),
-                        block=jnp.full((nt,), cfg.null_block, jnp.int32),
-                        bcoord=jnp.zeros((nt, 3), jnp.int32),
-                        tvalid=jnp.zeros((nt,), jnp.bool_),
-                        dropped=jnp.int32(0),
-                    ),
-                )
-            )
-            positions.append(pos)
-            actives.append(active)
+            positions.append(jnp.asarray(raw))
+            actives.append(jnp.ones((raw.shape[0],), jnp.bool_))
+            self._num_tiles.append(self._round_tiles(raw.shape[0]))
 
-        pool = jnp.zeros(
-            (cfg.max_active_blocks + 1, 4, cfg.block_volume), jnp.float32
-        )
-        empty = Partition(
-            table=jnp.full((cfg.num_table_entries + 1,), cfg.null_block, jnp.int32),
-            keys=jnp.full((cfg.max_active_blocks,), cfg.num_table_entries, jnp.int32),
-            count=jnp.int32(0),
-            overflow=jnp.int32(0),
-        )
-        partition, pool = part.rebuild(cfg, pool, empty, tuple(positions), tuple(actives))
-
-        models = [
-            m._replace(
-                tiles=part.build_tiles(cfg, partition, m.pos, m.active, nt)
-            )
-            for m, nt in zip(models, self._num_tiles)
-        ]
-
-        for mat, model, v0 in zip(self.materials, models, model_velocities):
-            pool = transfer.rasterize_model(
-                cfg, mat, partition.table, model,
-                jnp.asarray(v0, jnp.float32), pool, self.tile_chunk,
-            )
-
-        return SimState(
-            grid=pool,
-            partition=partition,
-            models=tuple(models),
-            dt=jnp.float32(cfg.default_dt),
-            max_vel=jnp.float32(0.0),
-            t=jnp.float32(0.0),
-            step=jnp.int32(0),
+        return init_impl(
+            self.cfg, self.materials, tuple(self._num_tiles), self.tile_chunk,
+            tuple(positions), tuple(actives),
+            tuple(tuple(float(c) for c in v) for v in model_velocities),
         )
 
     # ------------------------------------------------------------------
@@ -137,43 +212,9 @@ class MPMEngine:
     # ------------------------------------------------------------------
 
     def _substep(self, state: SimState, frame_end: jnp.ndarray) -> SimState:
-        cfg = self.cfg
-        dt = state.dt
-
-        pool_v, max_vel_sqr = grid_ops.grid_update(
-            cfg, state.grid, state.partition, dt, self.colliders, state.t
-        )
-        t_after = state.t + dt
-        next_dt = grid_ops.compute_dt(cfg, max_vel_sqr, t_after, frame_end)
-
-        next_pool = jnp.zeros_like(state.grid)
-        new_models = []
-        for mat, model in zip(self.materials, state.models):
-            model, next_pool = transfer.g2p2g_model(
-                cfg, mat, pool_v, state.partition.table, model,
-                dt, next_dt, next_pool, self.tile_chunk,
-            )
-            new_models.append(model)
-
-        partition, next_pool = part.rebuild(
-            cfg, next_pool, state.partition,
-            tuple(m.pos for m in new_models),
-            tuple(m.active for m in new_models),
-        )
-        new_models = [
-            m._replace(tiles=part.build_tiles(cfg, partition, m.pos, m.active,
-                                              m.tiles.pidx.shape[0]))
-            for m in new_models
-        ]
-
-        return SimState(
-            grid=next_pool,
-            partition=partition,
-            models=tuple(new_models),
-            dt=next_dt,
-            max_vel=jnp.sqrt(max_vel_sqr),
-            t=t_after,
-            step=state.step + 1,
+        return substep_impl(
+            self.cfg, self.materials, self.colliders, self.tile_chunk,
+            state, frame_end, comm=None,
         )
 
     def _run_frame(self, state: SimState, frame_end: jnp.ndarray) -> SimState:
@@ -225,8 +266,8 @@ class MPMEngine:
         out = {
             "grid_mass": grid_mass,
             "grid_momentum": np.asarray(mom),
-            "active_blocks": int(state.partition.count),
-            "block_overflow": int(state.partition.overflow),
+            "active_blocks": int(state.partition.count[0]),
+            "block_overflow": int(state.partition.overflow[0]),
             "null_block_mass": float(jnp.sum(jnp.abs(state.grid[cfg.null_block, 0]))),
             "t": float(state.t),
             "dt": float(state.dt),
@@ -234,5 +275,5 @@ class MPMEngine:
         }
         for i, m in enumerate(state.models):
             out[f"model{i}_active"] = int(jnp.sum(m.active))
-            out[f"model{i}_dropped_tiles"] = int(m.tiles.dropped)
+            out[f"model{i}_dropped_tiles"] = int(m.tiles.dropped[0])
         return out

@@ -91,6 +91,7 @@ def rebuild(
     partition: Partition,
     model_positions: Tuple[jnp.ndarray, ...],
     model_active: Tuple[jnp.ndarray, ...],
+    extra_mask: jnp.ndarray | None = None,
 ) -> Tuple[Partition, jnp.ndarray]:
     """Recompute the active block set, compact it, and remap the grid pool.
 
@@ -117,8 +118,10 @@ def rebuild(
         pmask = pmask.at[jnp.minimum(key, n3 - 1)].max(act & (key < n3))
     pmask = _dilate_01(cfg, pmask.reshape(g, g, g)).reshape(-1)
     mask = mask | pmask
+    if extra_mask is not None:
+        mask = mask | extra_mask.reshape(-1)
 
-    count = jnp.sum(mask, dtype=jnp.int32)
+    count = jnp.sum(mask, dtype=jnp.int32).reshape(1)
     (keys,) = jnp.nonzero(mask, size=nb, fill_value=n3)
     keys = keys.astype(jnp.int32)
     overflow = jnp.maximum(count - nb, 0)
@@ -188,7 +191,7 @@ def build_tiles(
     flat_pos = jnp.where(sorted_slot == null, num_tiles * tile, flat_pos)
     dropped = jnp.sum(
         (flat_pos >= num_tiles * tile) & (sorted_slot != null), dtype=jnp.int32
-    )
+    ).reshape(1)
 
     pidx_flat = jnp.full((num_tiles * tile,), -1, jnp.int32)
     pidx_flat = pidx_flat.at[flat_pos].set(order.astype(jnp.int32), mode="drop")

@@ -1,0 +1,361 @@
+"""Multi-chip spatial domain decomposition over a JAX device mesh.
+
+TPU-native redesign of the reference's MGSP multi-GPU pipeline
+(reference: Projects/MGSP/mgsp_benchmark.cuh:28-777).  The mapping:
+
+* one ``std::thread`` + CUDA context per GPU with fork-join queues
+  (mgsp_benchmark.cuh:309-356)          -> SPMD ``shard_map`` over a 1-D
+  ``jax.sharding.Mesh`` axis; the scheduler disappears.
+* ``halo_tagging`` blockid-list exchange + ``cudaMemcpyPeerAsync`` halo
+  packing (mgsp_benchmark.cuh:661-776, halo_buffer.cuh:54-63) -> one
+  symmetric ``lax.ppermute`` of fixed-shape dense *halo windows*: the
+  2*margin block layers around each slab boundary.  Because each shard adds
+  only the *neighbor's* contribution into its own pool, every overlapping
+  block ends up with the global sum on all owners — exactly the reference's
+  collect/reduce semantics, but static-shaped and deterministic.
+* host-side global max-vel reduction (mgsp_benchmark.cuh:410-416)
+  -> ``lax.pmax`` on device.
+* static geometric particle assignment (``get_domain``, MGSP/settings.h:69-93)
+  -> slab assignment along the mesh axis at init, PLUS per-substep particle
+  *migration* via fixed-capacity ``ppermute`` buffers (the reference ships
+  vestigial, unused migration kernels, halo_kernels.cuh:100-130; here it is
+  implemented, keeping each shard's working set inside its halo margin).
+
+Each shard holds a full-domain index table and runs the identical
+single-chip substep; only the three comm hooks differ.  Grid coordinates
+are global everywhere, so boundary conditions and collision objects work
+unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import SimConfig
+from ..core import engine as engine_mod
+from ..core import partition as part
+from ..core.types import ParticleModel, SimState
+from ..models.materials import Material
+
+
+class HaloComm:
+    """Per-shard communication hooks used inside shard_map."""
+
+    def __init__(self, cfg: SimConfig, axis: str, n_dev: int, margin: int,
+                 mig_cap: int):
+        self.cfg = cfg
+        self.axis = axis
+        self.n_dev = n_dev
+        self.margin = margin
+        self.mig_cap = mig_cap
+        assert cfg.grid_size % n_dev == 0, (cfg.grid_size, n_dev)
+        self.slab = cfg.grid_size // n_dev
+
+    # -- mesh geometry -------------------------------------------------
+    def _bounds(self):
+        i = jax.lax.axis_index(self.axis)
+        x0 = i * self.slab
+        return i, x0, x0 + self.slab
+
+    # -- reductions ----------------------------------------------------
+    def reduce_max(self, x):
+        return jax.lax.pmax(x, self.axis)
+
+    # -- halo windows --------------------------------------------------
+    def _window_coords(self, x_start):
+        """Block coords of a window of 2*margin x-layers: [2m, G, G, 3]."""
+        g = self.cfg.grid_size
+        m = self.margin
+        xs = x_start + jnp.arange(2 * m)
+        yy, zz = jnp.meshgrid(jnp.arange(g), jnp.arange(g), indexing="ij")
+        coords = jnp.stack(
+            [
+                jnp.broadcast_to(xs[:, None, None], (2 * m, g, g)),
+                jnp.broadcast_to(yy[None], (2 * m, g, g)),
+                jnp.broadcast_to(zz[None], (2 * m, g, g)),
+            ],
+            axis=-1,
+        )
+        return coords
+
+    def _extract(self, pool, table, coords):
+        slots = part.lookup(self.cfg, table, coords)         # [2m, G, G]
+        return pool[slots]                                   # [2m, G, G, 4, bv]
+
+    def exchange_halo(self, pool, partition):
+        """ppermute both boundary windows; returns the *neighbor's*
+        contributions over (my left window, my right window)."""
+        _, x0, x1 = self._bounds()
+        m = self.margin
+        cl = self._window_coords(x0 - m)
+        cr = self._window_coords(x1 - m)
+        mine_l = self._extract(pool, partition.table, cl)
+        mine_r = self._extract(pool, partition.table, cr)
+        n = self.n_dev
+        perm_r = [(k, k + 1) for k in range(n - 1)]          # send to right
+        perm_l = [(k + 1, k) for k in range(n - 1)]          # send to left
+        from_left = jax.lax.ppermute(mine_r, self.axis, perm_r)
+        # neighbor's right window == my left window
+        from_right = jax.lax.ppermute(mine_l, self.axis, perm_l)
+        return (from_left, from_right, cl, cr)
+
+    def halo_mass_mask(self, slabs):
+        """Blocks where the neighbor contributed mass -> keep them active."""
+        from_left, from_right, cl, cr = slabs
+        g = self.cfg.grid_size
+        n3 = g * g * g
+        mask = jnp.zeros((n3,), jnp.bool_)
+        for slab, coords in ((from_left, cl), (from_right, cr)):
+            has = jnp.any(slab[..., 0, :] != 0.0, axis=-1)   # [2m, G, G]
+            key = part.flatten_key(self.cfg, coords)
+            mask = mask.at[jnp.minimum(key, n3 - 1)].max(has & (key < n3))
+        return mask
+
+    def add_halo(self, pool, partition, slabs):
+        """Sum neighbor contributions into my (rebuilt) pool."""
+        from_left, from_right, cl, cr = slabs
+        for slab, coords in ((from_left, cl), (from_right, cr)):
+            slots = part.lookup(self.cfg, partition.table, coords).reshape(-1)
+            pool = pool.at[slots].add(
+                slab.reshape(-1, 4, self.cfg.block_volume)
+            )
+        return pool.at[self.cfg.null_block].set(0.0)
+
+    # -- particle migration -------------------------------------------
+    def migrate(self, models: List[ParticleModel], materials) -> List[ParticleModel]:
+        _, x0, x1 = self._bounds()
+        cfg = self.cfg
+        k = self.mig_cap
+        n = self.n_dev
+        perm_r = [(j, j + 1) for j in range(n - 1)]
+        perm_l = [(j + 1, j) for j in range(n - 1)]
+        out = []
+        for model in models:
+            p = model.pos.shape[0]
+            hbx = part.home_block(cfg, model.pos)[:, 0]
+            active = model.active
+            payloads = {}
+            for name, cond, perm in (
+                ("left", active & (hbx < x0), perm_l),
+                ("right", active & (hbx >= x1), perm_r),
+            ):
+                (idx,) = jnp.nonzero(cond, size=k, fill_value=p)
+                valid = idx < p
+                gidx = jnp.minimum(idx, p - 1)
+                payload = {
+                    "pos": model.pos[gidx],
+                    "valid": valid,
+                    **{f: v[gidx] for f, v in model.fields.items()},
+                }
+                payloads[name] = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x, self.axis, perm), payload
+                )
+                # deactivate the lanes we actually shipped
+                sent = jnp.zeros((p + 1,), jnp.bool_).at[idx].set(
+                    valid, mode="drop"
+                )[:p]
+                active = active & ~sent
+
+            pos, fields = model.pos, dict(model.fields)
+            for name in ("left", "right"):
+                rv = payloads[name]
+                (free,) = jnp.nonzero(~active, size=k, fill_value=p)
+                ok = rv["valid"] & (free < p)
+                tgt = jnp.where(ok, free, p)
+                pos = pos.at[tgt].set(rv["pos"], mode="drop")
+                for f in fields:
+                    fields[f] = fields[f].at[tgt].set(rv[f], mode="drop")
+                active = active.at[tgt].set(True, mode="drop")
+            out.append(model._replace(pos=pos, fields=fields, active=active))
+        return out
+
+
+class MultiChipEngine:
+    """MGSP-equivalent multi-chip engine: same config/materials API as
+    MPMEngine, sharded over a 1-D mesh axis in block space."""
+
+    def __init__(
+        self,
+        cfg: SimConfig,
+        materials: Sequence[Material],
+        mesh: Optional[Mesh] = None,
+        n_devices: Optional[int] = None,
+        axis: str = "x",
+        halo_margin: int = 1,
+        migration_capacity: int = 2048,
+        colliders: Sequence = (),
+        tile_chunk: int = 32,
+        particle_capacity_factor: float = 1.5,
+    ):
+        if mesh is None:
+            devs = jax.devices()[: (n_devices or len(jax.devices()))]
+            mesh = Mesh(np.array(devs), (axis,))
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = mesh.devices.size
+        self.cfg = cfg
+        self.materials = tuple(materials)
+        self.colliders = tuple(colliders)
+        self.tile_chunk = tile_chunk
+        self.capacity_factor = particle_capacity_factor
+        self.comm = HaloComm(cfg, axis, self.n_dev, halo_margin, migration_capacity)
+        self._num_tiles: List[int] = []
+        self._pcaps: List[int] = []
+        self._substep_fn = None
+
+    # -- init ----------------------------------------------------------
+    def init_state(self, model_positions, model_velocities=None) -> SimState:
+        cfg = self.cfg
+        nd = self.n_dev
+        slab = cfg.grid_size // nd
+        if model_velocities is None:
+            model_velocities = [(0.0, 0.0, 0.0)] * len(self.materials)
+
+        pos_stacked, act_stacked = [], []
+        self._num_tiles, self._pcaps = [], []
+        for raw in model_positions:
+            raw = np.asarray(raw, np.float32)
+            base = np.floor(raw * cfg.dx_inv + 0.5).astype(np.int64) - 1
+            hbx = (base[:, 0] - 1) >> cfg.block_bits
+            shard = np.clip(hbx // slab, 0, nd - 1)
+            counts = np.bincount(shard, minlength=nd)
+            pcap = int(np.ceil(counts.max() * self.capacity_factor))
+            pcap = max(pcap, 8)
+            pos_sh = np.zeros((nd, pcap, 3), np.float32)
+            act_sh = np.zeros((nd, pcap), bool)
+            for d in range(nd):
+                sel = raw[shard == d]
+                pos_sh[d, : len(sel)] = sel
+                act_sh[d, : len(sel)] = True
+            self._pcaps.append(pcap)
+            nt = cfg.tiles_for(pcap)
+            nt = -(-nt // self.tile_chunk) * self.tile_chunk
+            self._num_tiles.append(nt)
+            pos_stacked.append(jnp.asarray(pos_sh.reshape(nd * pcap, 3)))
+            act_stacked.append(jnp.asarray(act_sh.reshape(nd * pcap)))
+
+        v0s = tuple(tuple(float(c) for c in v) for v in model_velocities)
+        init_fn = functools.partial(
+            engine_mod.init_impl, cfg, self.materials, tuple(self._num_tiles),
+            self.tile_chunk,
+        )
+        ax = self.axis
+        comm = self.comm
+
+        def _init(p, a):
+            st = init_fn(p, a, v0s)
+            # initial halo reduction so every active copy holds the global sum
+            # (reference initial_setup collect/reduce, mgsp_benchmark.cuh:653)
+            slabs = comm.exchange_halo(st.grid, st.partition)
+            return st._replace(grid=comm.add_halo(st.grid, st.partition, slabs))
+
+        sharded_init = jax.jit(
+            jax.shard_map(
+                _init,
+                mesh=self.mesh,
+                in_specs=(tuple(P(ax) for _ in pos_stacked),
+                          tuple(P(ax) for _ in act_stacked)),
+                out_specs=self._out_state_spec(),
+                check_vma=False,
+            )
+        )
+        return sharded_init(tuple(pos_stacked), tuple(act_stacked))
+
+    def _out_state_spec(self):
+        ax = self.axis
+        part_spec = part.Partition(table=P(ax), keys=P(ax), count=P(ax),
+                                   overflow=P(ax))
+        tile_spec = part.TileMap(pidx=P(ax), valid=P(ax), block=P(ax),
+                                 bcoord=P(ax), tvalid=P(ax), dropped=P(ax))
+        model_specs = tuple(
+            ParticleModel(
+                pos=P(ax),
+                fields={k: P(ax) for k, _ in mat.field_specs},
+                active=P(ax),
+                tiles=tile_spec,
+            )
+            for mat in self.materials
+        )
+        return SimState(
+            grid=P(ax), partition=part_spec, models=model_specs,
+            dt=P(), max_vel=P(), t=P(), step=P(),
+        )
+
+    # -- stepping ------------------------------------------------------
+    def _build_substep(self):
+        spec = self._out_state_spec()
+        fn = functools.partial(
+            engine_mod.substep_impl, self.cfg, self.materials, self.colliders,
+            self.tile_chunk, comm=self.comm,
+        )
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(spec, P()), out_specs=spec, check_vma=False,
+            )
+        )
+
+    @property
+    def substep(self):
+        if self._substep_fn is None:
+            self._substep_fn = self._build_substep()
+        return self._substep_fn
+
+    def run_frame(self, state: SimState, frame_end) -> SimState:
+        frame_end = jnp.float32(frame_end)
+        while float(state.t) < float(frame_end) - 1e-9:
+            state = self.substep(state, frame_end)
+        return state
+
+    def run(self, state: SimState, frames: int, on_frame=None) -> SimState:
+        frame_dt = self.cfg.frame_dt()
+        t0 = float(state.t)
+        for f in range(frames):
+            state = self.run_frame(state, t0 + (f + 1) * frame_dt)
+            if on_frame is not None:
+                on_frame(f, state)
+        return state
+
+    # -- inspection ----------------------------------------------------
+    def get_positions(self, state: SimState, model_idx: int = 0) -> np.ndarray:
+        m = state.models[model_idx]
+        pos = np.asarray(m.pos)
+        act = np.asarray(m.active)
+        return pos[act]
+
+    def diagnostics(self, state: SimState) -> dict:
+        """Global probes.  After each halo reduction every *active* copy of a
+        block holds the global sum, so count each global block exactly once
+        (first shard holding it active)."""
+        cfg = self.cfg
+        nd = self.n_dev
+        pool = np.asarray(state.grid).reshape(nd, -1, 4, cfg.block_volume)
+        keys = np.asarray(state.partition.keys).reshape(nd, -1)
+        counts = np.asarray(state.partition.count).reshape(nd)
+        mass = 0.0
+        mom = np.zeros(3)
+        seen = set()
+        for d in range(nd):
+            for s in range(counts[d]):
+                k = int(keys[d, s])
+                if k in seen:
+                    continue
+                seen.add(k)
+                mass += pool[d, s, 0].sum()
+                mom += pool[d, s, 1:4].sum(axis=-1)
+        out = {
+            "grid_mass": float(mass),
+            "grid_momentum": mom,
+            "t": float(state.t),
+            "dt": float(state.dt),
+            "active_blocks": counts.tolist(),
+        }
+        for i, m in enumerate(state.models):
+            out[f"model{i}_active"] = int(jnp.sum(m.active))
+        return out

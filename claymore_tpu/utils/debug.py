@@ -18,7 +18,7 @@ def pool_to_dense(cfg: SimConfig, state: SimState):
     mom = np.zeros((n, n, n, 3), np.float64)
     pool = np.asarray(state.grid, np.float64)
     keys = np.asarray(state.partition.keys)
-    count = int(state.partition.count)
+    count = int(np.asarray(state.partition.count)[0])
     coords = np.asarray(unflatten_key(cfg, state.partition.keys))
     for s in range(count):
         bx, by, bz = coords[s] * bs
@@ -32,8 +32,8 @@ def check_partition(cfg: SimConfig, partition: Partition) -> None:
     """Key <-> slot round trip (reference check_table / check_partition)."""
     keys = np.asarray(partition.keys)
     table = np.asarray(partition.table)
-    count = int(partition.count)
-    assert int(partition.overflow) == 0
+    count = int(np.asarray(partition.count)[0])
+    assert int(np.asarray(partition.overflow)[0]) == 0
     for s in range(count):
         assert keys[s] < cfg.num_table_entries
         assert table[keys[s]] == s, (s, keys[s], table[keys[s]])
@@ -52,5 +52,5 @@ def check_tiles(cfg: SimConfig, state: SimState, model_idx: int = 0) -> None:
     active = np.asarray(m.active)
     seen = pidx[valid]
     assert len(seen) == len(set(seen.tolist())), "duplicate particle in tiles"
-    assert int(tm.dropped) == 0
+    assert int(np.asarray(tm.dropped)[0]) == 0
     assert set(seen.tolist()) == set(np.nonzero(active)[0].tolist())
