@@ -53,7 +53,7 @@ def init_impl(
     )
     models = []
     for mat, pos, active, nt in zip(materials, pos_tuple, active_tuple, tile_counts):
-        n = pos.shape[0]
+        n = pos.shape[1]  # pos is component-leading [3, P]
         models.append(
             ParticleModel(
                 pos=pos,
@@ -197,7 +197,7 @@ class MPMEngine:
         self._num_tiles = []
         for raw in model_positions:
             raw = np.asarray(raw, np.float32)
-            positions.append(jnp.asarray(raw))
+            positions.append(jnp.asarray(raw.T))  # component-leading [3, P]
             actives.append(jnp.ones((raw.shape[0],), jnp.bool_))
             self._num_tiles.append(self._round_tiles(raw.shape[0]))
 
@@ -253,7 +253,7 @@ class MPMEngine:
         """Active particle positions on host (reference
         retrieve_particle_buffer, mgmpm_kernels.cuh:1088-1122)."""
         m = state.models[model_idx]
-        pos = np.asarray(m.pos)
+        pos = np.asarray(m.pos).T
         act = np.asarray(m.active)
         return pos[act]
 

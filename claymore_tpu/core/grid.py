@@ -24,7 +24,7 @@ def cell_positions(cfg: SimConfig, partition: Partition) -> jnp.ndarray:
     bs = cfg.block_size
     bcoord = unflatten_key(
         cfg, jnp.minimum(partition.keys, cfg.grid_size ** 3 - 1)
-    )                                                     # [B, 3]
+    ).T                                                   # [B, 3]
     bcoord = jnp.concatenate([bcoord, jnp.zeros((1, 3), bcoord.dtype)], axis=0)
     offs = jnp.stack(
         jnp.meshgrid(*([jnp.arange(bs)] * 3), indexing="ij"), axis=0
@@ -53,7 +53,9 @@ def grid_update(
 
     # sticky slab: zero the axis component for blocks within ``bound_blocks``
     # of a domain face (reference is_in_bound bitmask, mgmpm_kernels.cuh:339)
-    bcoord = unflatten_key(cfg, jnp.minimum(partition.keys, cfg.grid_size ** 3 - 1))
+    bcoord = unflatten_key(
+        cfg, jnp.minimum(partition.keys, cfg.grid_size ** 3 - 1)
+    ).T                                                   # [B, 3]
     near = (bcoord < cfg.bound_blocks) | (bcoord >= cfg.grid_size - cfg.bound_blocks)
     near = jnp.concatenate([near, jnp.zeros((1, 3), jnp.bool_)], axis=0)  # null row
     v = jnp.where(near[:, :, None], 0.0, v)

@@ -9,6 +9,10 @@ dense block space followed by a static-size ``jnp.nonzero`` compaction; the
 bucket scatter (add_advection, particle_buffer.cuh:100-135) becomes one sort
 by home-block slot plus prefix sums — fully deterministic, no atomics.
 
+Coordinate convention: positions and block/cell coordinates are
+component-leading ([3, ...]) so per-particle arrays keep the particle axis
+in the TPU lane dimension (see transfer.py layout rule).
+
 All outputs are static-shaped so the whole rebuild runs inside jit.
 """
 
@@ -24,27 +28,28 @@ from .types import Partition, TileMap
 
 
 # --------------------------------------------------------------------------
-# coordinate helpers
+# coordinate helpers (coords are [3, ...])
 # --------------------------------------------------------------------------
 
 def flatten_key(cfg: SimConfig, coord: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3] block coords -> flat key; out-of-range -> sentinel (G^3)."""
+    """[3, ...] block coords -> flat key; out-of-range -> sentinel (G^3)."""
     g = cfg.grid_size
-    valid = jnp.all((coord >= 0) & (coord < g), axis=-1)
-    flat = (coord[..., 0] * g + coord[..., 1]) * g + coord[..., 2]
+    valid = jnp.all((coord >= 0) & (coord < g), axis=0)
+    flat = (coord[0] * g + coord[1]) * g + coord[2]
     return jnp.where(valid, flat, g * g * g)
 
 
 def unflatten_key(cfg: SimConfig, key: jnp.ndarray) -> jnp.ndarray:
+    """flat key -> [3, ...] block coords."""
     g = cfg.grid_size
     kz = key % g
     ky = (key // g) % g
     kx = jnp.minimum(key // (g * g), g - 1)
-    return jnp.stack([kx, ky, kz], axis=-1)
+    return jnp.stack([kx, ky, kz], axis=0)
 
 
 def lookup(cfg: SimConfig, table: jnp.ndarray, coord: jnp.ndarray) -> jnp.ndarray:
-    """Block coords -> pool slot (null_block when inactive or out of range).
+    """[3, ...] block coords -> pool slot (null_block when inactive/OOB).
 
     Replaces the reference's ``Partition::query`` (hash_table.cuh:129-134).
     """
@@ -53,7 +58,8 @@ def lookup(cfg: SimConfig, table: jnp.ndarray, coord: jnp.ndarray) -> jnp.ndarra
 
 def base_cell(cfg: SimConfig, pos: jnp.ndarray) -> jnp.ndarray:
     """Lowest corner cell of the quadratic B-spline stencil:
-    round(x/dx) - 1 (reference get_block_id, utility_funcs.hpp:21-23)."""
+    round(x/dx) - 1 (reference get_block_id, utility_funcs.hpp:21-23).
+    pos: [3, ...] -> [3, ...] int32."""
     return jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
 
 
@@ -108,13 +114,14 @@ def rebuild(
     # blocks with grid mass survive (momentum ballistic past particles)
     has_mass = jnp.any(pool[:-1, 0, :] != 0.0, axis=-1)
     slot_live = jnp.arange(nb) < partition.count
-    mask = mask.at[jnp.minimum(partition.keys, n3 - 1)].max(has_mass & slot_live & (partition.keys < n3))
+    mask = mask.at[jnp.minimum(partition.keys, n3 - 1)].max(
+        has_mass & slot_live & (partition.keys < n3)
+    )
 
     # particle home blocks
     pmask = jnp.zeros((n3,), jnp.bool_)
     for pos, act in zip(model_positions, model_active):
-        hb = home_block(cfg, pos)
-        key = flatten_key(cfg, hb)
+        key = flatten_key(cfg, home_block(cfg, pos))
         pmask = pmask.at[jnp.minimum(key, n3 - 1)].max(act & (key < n3))
     pmask = _dilate_01(cfg, pmask.reshape(g, g, g)).reshape(-1)
     mask = mask | pmask
@@ -138,9 +145,7 @@ def rebuild(
     old_slot = partition.table[jnp.minimum(keys, n3)]
     new_pool = pool[old_slot]
     new_pool = jnp.where((keys < n3)[:, None, None], new_pool, 0.0)
-    new_pool = jnp.concatenate(
-        [new_pool, jnp.zeros_like(pool[:1])], axis=0
-    )
+    new_pool = jnp.concatenate([new_pool, jnp.zeros_like(pool[:1])], axis=0)
 
     return Partition(table=table, keys=keys, count=count, overflow=overflow), new_pool
 
@@ -161,8 +166,9 @@ def build_tiles(
     Replaces the reference's advection-bucket scatter + bin-offset scan
     (build_particle_cell_buckets / cell_bucket_to_block / compute_bin_capacity,
     mgmpm_kernels.cuh:37-94) with one key sort and prefix sums.
+    pos: [3, P].
     """
-    p = pos.shape[0]
+    p = pos.shape[1]
     tile = cfg.particle_tile
     null = cfg.null_block
     nseg = null + 1
@@ -186,8 +192,6 @@ def build_tiles(
 
     rank = jnp.arange(p, dtype=jnp.int32) - start[sorted_slot]
     flat_pos = pad_start[sorted_slot] + rank
-    # inactive (slot == null) or overflowing positions get dropped by the
-    # out-of-bounds scatter semantics
     flat_pos = jnp.where(sorted_slot == null, num_tiles * tile, flat_pos)
     dropped = jnp.sum(
         (flat_pos >= num_tiles * tile) & (sorted_slot != null), dtype=jnp.int32
@@ -203,10 +207,11 @@ def build_tiles(
     owner = jnp.searchsorted(cum_tiles, t_idx, side="right").astype(jnp.int32)
     tvalid = t_idx < total_tiles
     owner = jnp.where(tvalid, jnp.minimum(owner, null), null)
-    bcoord = unflatten_key(cfg, jnp.minimum(partition.keys, cfg.grid_size ** 3 - 1))[
-        jnp.minimum(owner, cfg.max_active_blocks - 1)
-    ]
-    bcoord = jnp.where(tvalid[:, None], bcoord, 0)
+    coords = unflatten_key(
+        cfg, jnp.minimum(partition.keys, cfg.grid_size ** 3 - 1)
+    )                                                       # [3, nb]
+    bcoord = coords[:, jnp.minimum(owner, cfg.max_active_blocks - 1)]
+    bcoord = jnp.where(tvalid[None, :], bcoord, 0)          # [3, T]
 
     return TileMap(
         pidx=pidx,

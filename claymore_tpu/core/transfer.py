@@ -4,19 +4,25 @@ TPU-native redesign of the reference's fused CUDA kernel (reference:
 Projects/GMPM/mgmpm_kernels.cuh:665-937).  The reference stages a 2^3-block
 (8^3-cell) shared-memory arena per particle block, gathers with per-thread
 scalar loops and scatters with shared-memory atomics.  Here the same arena
-becomes a per-tile [4, 8, 8, 8] register/VMEM-resident tensor and the
-quadratic B-spline transfer is factored into *separable per-axis
-contractions*:
+becomes a per-tile [4, 8, 8, 8] VMEM-resident tensor and the quadratic
+B-spline transfer is factored into *separable per-axis contractions*:
 
-* G2P:  v_p = sum_xyz wx[x] wy[y] wz[z] V[:, x, y, z] — one batched
-  [tile, 8] @ [8, C*64] matmul (MXU) followed by two small VPU reductions;
-  the APIC moment matrix A comes from the same pipeline with the per-axis
+* G2P:  v_p = sum_xyz wx[x] wy[y] wz[z] V[:, x, y, z] — one
+  [C*64, 8] @ [8, tile] matmul per tile followed by two VPU reductions; the
+  APIC moment matrix A comes from the same pipeline with the per-axis
   *moment* vectors m = w * (x_i - x_p).
 * P2G:  the fused momentum scatter  W * (m v + Q (x_i - x_p))  decomposes
-  into four separable outer-product terms which are stacked along the
-  particle axis and contracted in ONE [64, 4*tile] @ [4*tile, 32] matmul per
-  tile — the particle axis is the MXU contraction dimension, so the
-  shared-memory atomics disappear entirely and the result is deterministic.
+  into four separable outer-product terms stacked along the particle axis
+  and contracted in ONE [64, 4*tile] @ [4*tile, 32] matmul per tile — the
+  particle axis is the MXU contraction dimension, so the shared-memory
+  atomics disappear and the result is deterministic.
+
+Layout rule (the performance-critical decision): the PARTICLE axis is always
+the trailing (lane) axis — positions are [3, P], deformation gradients
+[9, P], per-axis spline weights [tiles, 8, tile].  TPU vector registers are
+(8 sublanes, 128 lanes); any array with a small trailing dim wastes up to
+42x of every register, which is why the naive [P, 3] formulation measures
+~10x slower.
 
 Tiles are processed in chunks under ``lax.scan`` with the next grid pool as
 carry, bounding intermediate memory exactly like the CUDA block loop does.
@@ -31,75 +37,86 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..models.materials import Material
-from .types import ParticleModel, TileMap
+from .types import ParticleModel
 from . import partition as part
 
 _IOTA8 = jnp.arange(8, dtype=jnp.int32)
 
 
-def _bspline_onehot(cfg: SimConfig, pos: jnp.ndarray, bcoord: jnp.ndarray):
-    """Per-axis one-hot B-spline weight and moment vectors over the 8-cell
-    arena axis.
+def _bspline_onehot(cfg: SimConfig, pos, origin):
+    """Per-axis one-hot B-spline weight/moment vectors over the 8-cell arena
+    axis (reference bspline_weight, utility_funcs.hpp:10-19).
 
-    Returns (w, m, base, in_range) with w, m of shape [..., 3(axis), 8] where
-    w[..., a, i] is the spline weight of arena cell i on axis a and
-    m = w * (x_cell - x_p) is the APIC moment factor
-    (reference bspline_weight, utility_funcs.hpp:10-19).
+    pos:    [3, ct, tile] particle positions
+    origin: [3, ct, 1] arena origin cell of each tile
+    returns (w, m, in_range): w, m are length-3 tuples of [ct, 8, tile]
+    arrays; in_range is [ct, tile].
     """
     dx = cfg.dx
-    base = part.base_cell(cfg, pos)                       # [..., 3]
+    base = part.base_cell(cfg, pos)                       # [3, ct, tile]
     d = pos * cfg.dx_inv - base.astype(pos.dtype)         # in [0.5, 1.5]
-    w0 = 0.5 * (1.5 - d) ** 2
-    w1 = 0.75 - (d - 1.0) ** 2
-    w2 = 0.5 * (d - 0.5) ** 2
 
-    origin = bcoord * cfg.block_size                      # [..., 3] arena cell origin
-    li = base - origin                                    # nominal range [1, 4]
-    in_range = jnp.all((li >= 0) & (li <= 5), axis=-1)
+    li = base - origin                                    # nominal [1, 4]
+    in_range = jnp.all((li >= 0) & (li <= 5), axis=0)
     li = jnp.clip(li, 0, 5)
 
-    iota = _IOTA8.reshape((1,) * pos.ndim + (-1,))        # [..., 1, 8] broadcast
-    lix = li[..., None]                                   # [..., 3, 1]
-    w = (
-        w0[..., None] * (iota == lix)
-        + w1[..., None] * (iota == lix + 1)
-        + w2[..., None] * (iota == lix + 2)
-    ).astype(pos.dtype)                                   # [..., 3, 8]
+    iota = _IOTA8[None, :, None]                          # [1, 8, 1]
+    ws, ms = [], []
+    for ax in range(3):
+        da = d[ax][:, None, :]                            # [ct, 1, tile]
+        w0 = 0.5 * (1.5 - da) ** 2
+        w1 = 0.75 - (da - 1.0) ** 2
+        w2 = 0.5 * (da - 0.5) ** 2
+        lia = li[ax][:, None, :]
+        w = (
+            w0 * (iota == lia)
+            + w1 * (iota == lia + 1)
+            + w2 * (iota == lia + 2)
+        ).astype(pos.dtype)                               # [ct, 8, tile]
+        cell_x = (origin[ax][:, None, :] + iota).astype(pos.dtype) * dx
+        m = w * (cell_x - pos[ax][:, None, :])
+        ws.append(w)
+        ms.append(m)
+    return ws, ms, in_range
 
-    cell_x = (origin[..., None] + _IOTA8).astype(pos.dtype) * dx  # [..., 3, 8]
-    m = w * (cell_x - pos[..., None])
-    return w, m, base, in_range
+
+import numpy as _np
+
+_NB_OFFS_NP = _np.stack(
+    _np.meshgrid(*([_np.arange(2, dtype=_np.int32)] * 3), indexing="ij"), axis=0
+).reshape(3, 8)
 
 
-def _gather_arena(cfg: SimConfig, pool: jnp.ndarray, table: jnp.ndarray,
-                  bcoord: jnp.ndarray):
-    """Fetch the 2^3 neighbor blocks of each tile's home block and lay them
-    out as a [tiles, 4, 8, 8, 8] cell arena.  Returns (arena, nb_slot)."""
+def _neighbor_offsets():
+    return jnp.asarray(_NB_OFFS_NP)
+
+
+def _gather_arena(cfg: SimConfig, pool, table, bcoord):
+    """Fetch the 2^3 neighbor blocks of each tile's home block as a
+    [tiles, 4, 8, 8, 8] cell arena.  bcoord: [3, T].  Returns (arena, nb_slot
+    [T, 8])."""
     bs = cfg.block_size
-    offs = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(2)] * 3), indexing="ij"), axis=-1
-    ).reshape(8, 3)
-    nb = bcoord[:, None, :] + offs[None]                  # [T, 8, 3]
-    nb_slot = part.lookup(cfg, table, nb)                 # [T, 8]
-    blocks = pool[nb_slot]                                # [T, 8, 4, bv]
+    nb = bcoord[:, :, None] + _neighbor_offsets()[:, None, :]   # [3, T, 8]
+    nb_slot = part.lookup(cfg, table, nb)                       # [T, 8]
+    blocks = pool[nb_slot]                                      # [T, 8, 4, bv]
     t = blocks.shape[0]
     arena = blocks.reshape(t, 2, 2, 2, 4, bs, bs, bs)
-    arena = arena.transpose(0, 4, 1, 5, 2, 6, 3, 7)       # t, c, ox,cx, oy,cy, oz,cz
-    arena = arena.reshape(t, 4, 2 * bs, 2 * bs, 2 * bs)
-    return arena, nb_slot
+    arena = arena.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return arena.reshape(t, 4, 2 * bs, 2 * bs, 2 * bs), nb_slot
 
 
-def _scatter_layout(cfg: SimConfig, arena_out: jnp.ndarray) -> jnp.ndarray:
+def _scatter_layout(cfg: SimConfig, arena_out):
     """[T, 8, 8, 8, 4] (x, y, z, c) cell arena -> [T, 8, 4, bv] block rows."""
     bs = cfg.block_size
     t = arena_out.shape[0]
     a = arena_out.reshape(t, 2, bs, 2, bs, 2, bs, 4)
-    a = a.transpose(0, 1, 3, 5, 7, 2, 4, 6)               # t, ox,oy,oz, c, cx,cy,cz
+    a = a.transpose(0, 1, 3, 5, 7, 2, 4, 6)
     return a.reshape(t, 8, 4, cfg.block_volume)
 
 
-def _gather_fields(fields: Dict[str, jnp.ndarray], pid: jnp.ndarray):
-    return {k: v[pid] for k, v in fields.items()}
+def _contract_x(w, varena):
+    """sum_x w[:, x, p] V[:, c, x, y, z] -> [ct, c, y, z, p]"""
+    return jnp.einsum("txp,tcxyz->tcyzp", w, varena)
 
 
 def g2p2g_model(
@@ -125,105 +142,130 @@ def g2p2g_model(
     d_inv = jnp.asarray(cfg.d_inv, pool_v.dtype)
     mass = material.mass
 
-    pos_all = model.pos
+    pos_all = model.pos                                   # [3, P]
     fields_all = model.fields
+    p_total = pos_all.shape[1]
 
     def chunk(carry, inp):
-        pidx, valid, bcoord, tvalid = inp
+        pidx, valid, bcoord, tvalid = inp                 # bcoord: [3, ct]... see resh
+        bcoord = bcoord_t(inp)
         arena, nb_slot = _gather_arena(cfg, pool_v, table, bcoord)
-        # unused tiles must not scatter into live blocks
         nb_slot = jnp.where(tvalid[:, None], nb_slot, cfg.null_block)
 
-        pos = pos_all[pidx]                                # [C, tile, 3]
-        fields = _gather_fields(fields_all, pidx)
-
-        w, mvec, _, _ = _bspline_onehot(cfg, pos, bcoord[:, None, :])
-        wx, wy, wz = w[..., 0, :], w[..., 1, :], w[..., 2, :]
-        mx, my, mz = mvec[..., 0, :], mvec[..., 1, :], mvec[..., 2, :]
-
-        vgrid = arena[:, 1:4]                              # [C, 3, 8, 8, 8]
-        gx = jnp.einsum("tpx,tcxyz->tpcyz", wx, vgrid)
-        gmx = jnp.einsum("tpx,tcxyz->tpcyz", mx, vgrid)
-        gxy = jnp.einsum("tpcyz,tpy->tpcz", gx, wy)
-        gxmy = jnp.einsum("tpcyz,tpy->tpcz", gx, my)
-        gmxy = jnp.einsum("tpcyz,tpy->tpcz", gmx, wy)
-        vel = jnp.einsum("tpcz,tpz->tpc", gxy, wz)          # [C, tile, 3]
-        col2 = jnp.einsum("tpcz,tpz->tpc", gxy, mz)
-        col1 = jnp.einsum("tpcz,tpz->tpc", gxmy, wz)
-        col0 = jnp.einsum("tpcz,tpz->tpc", gmxy, wz)
-        amat = jnp.stack([col0, col1, col2], axis=-1)       # [C, tile, 3, 3]
-
-        # --- particle update (material static dispatch) ---
         ct = pidx.shape[0]
-        flat = lambda x: x.reshape((ct * tile,) + x.shape[2:])
+        pos = pos_all[:, pidx]                            # [3, ct, tile]
+        fields = {k: v[..., pidx] for k, v in fields_all.items()}
+
+        origin = (bcoord * cfg.block_size)[:, :, None]    # [3, ct, 1]
+        w, mvec, _ = _bspline_onehot(cfg, pos, origin)
+        (wx, wy, wz), (mx, my, mz) = w, mvec              # [ct, 8, tile] each
+
+        vgrid = arena[:, 1:4]                             # [ct, 3, 8, 8, 8]
+        gx = _contract_x(wx, vgrid)                       # [ct, 3, 8, 8, tile]
+        gmx = _contract_x(mx, vgrid)
+        wy_b = wy[:, None, :, None, :]
+        my_b = my[:, None, :, None, :]
+        gxy = jnp.sum(gx * wy_b, axis=2)                  # [ct, 3, 8, tile]
+        gxmy = jnp.sum(gx * my_b, axis=2)
+        gmxy = jnp.sum(gmx * wy_b, axis=2)
+        wz_b = wz[:, None, :, :]
+        mz_b = mz[:, None, :, :]
+        vel = jnp.sum(gxy * wz_b, axis=2)                 # [ct, 3, tile]
+        col2 = jnp.sum(gxy * mz_b, axis=2)                # A[:, :, 2]
+        col1 = jnp.sum(gxmy * wz_b, axis=2)
+        col0 = jnp.sum(gmxy * wz_b, axis=2)
+        cols = (col0, col1, col2)
+        # A_rc components, each [ct, tile]
+        a_soa = tuple(cols[c][:, r] for r in range(3) for c in range(3))
+
+        # --- particle update (material static dispatch, SoA math) ---
+        flat = lambda x: x.reshape((-1,) + x.shape[2:]) if x.ndim > 2 else x.reshape(-1)
+        fields_flat = {
+            k: v.reshape(v.shape[:-2] + (ct * tile,)) for k, v in fields.items()
+        }
         new_fields_flat, contrib = material.update(
-            d_inv, dt, flat(amat), {k: flat(v) for k, v in fields.items()}
+            d_inv, dt, tuple(c.reshape(-1) for c in a_soa), fields_flat
         )
         new_fields = {
-            k: v.reshape((ct, tile) + v.shape[1:]) for k, v in new_fields_flat.items()
+            k: v.reshape(v.shape[:-1] + (ct, tile)) for k, v in new_fields_flat.items()
         }
-        contrib = contrib.reshape(ct, tile, 3, 3)
 
-        new_pos = pos + vel * dt
+        new_pos = pos + vel.transpose(1, 0, 2) * dt       # [3, ct, tile]
 
         # fused momentum matrix  Q = (A m - contrib dt_next) D^-1
-        q = (amat * mass - contrib * next_dt) * d_inv
+        q = tuple(
+            ((a.reshape(-1) * mass - c * next_dt) * d_inv).reshape(ct, tile)
+            for a, c in zip(a_soa, contrib)
+        )
 
         # --- P2G at the advected position, same arena ---
-        w2_, m2_, _, in_range = _bspline_onehot(cfg, new_pos, bcoord[:, None, :])
-        ok = valid & in_range                               # drop escapees
-        wx2, wy2, wz2 = w2_[..., 0, :], w2_[..., 1, :], w2_[..., 2, :]
-        mx2, my2, mz2 = m2_[..., 0, :], m2_[..., 1, :], m2_[..., 2, :]
+        w2, m2, in_range = _bspline_onehot(cfg, new_pos, origin)
+        ok = valid & in_range
+        (wx2, wy2, wz2), (mx2, my2, mz2) = w2, m2
 
+        okf = ok[:, None, :].astype(pos.dtype)            # [ct, 1, tile]
+        velm = vel * mass
+        # channel stacks [ct, 4, tile]; term k uses moment vector on axis k
         s0 = jnp.concatenate(
-            [jnp.full(vel.shape[:2] + (1,), mass, vel.dtype), mass * vel], axis=-1
-        )                                                   # [C, tile, 4]
-        zero = jnp.zeros(vel.shape[:2] + (1,), vel.dtype)
-        s1 = jnp.concatenate([zero, q[..., :, 0]], axis=-1)
-        s2 = jnp.concatenate([zero, q[..., :, 1]], axis=-1)
-        s3 = jnp.concatenate([zero, q[..., :, 2]], axis=-1)
+            [jnp.full((ct, 1, tile), mass, pos.dtype), velm], axis=1
+        ) * okf
+        zero = jnp.zeros((ct, 1, tile), pos.dtype)
+        s1 = jnp.concatenate(
+            [zero, q[0][:, None], q[3][:, None], q[6][:, None]], axis=1
+        ) * okf
+        s2 = jnp.concatenate(
+            [zero, q[1][:, None], q[4][:, None], q[7][:, None]], axis=1
+        ) * okf
+        s3 = jnp.concatenate(
+            [zero, q[2][:, None], q[5][:, None], q[8][:, None]], axis=1
+        ) * okf
 
-        okf = ok[..., None].astype(vel.dtype)
-        ux = jnp.concatenate([wx2, mx2, wx2, wx2], axis=1)  # [C, 4*tile, 8]
-        uy = jnp.concatenate([wy2, wy2, my2, wy2], axis=1)
-        uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=1)
-        svals = jnp.concatenate(
-            [s0 * okf, s1 * okf, s2 * okf, s3 * okf], axis=1
-        )                                                   # [C, 4*tile, 4]
+        ux = jnp.concatenate([wx2, mx2, wx2, wx2], axis=2)   # [ct, 8, 4*tile]
+        uy = jnp.concatenate([wy2, wy2, my2, wy2], axis=2)
+        uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=2)
+        sv = jnp.concatenate([s0, s1, s2, s3], axis=2)       # [ct, 4, 4*tile]
 
-        e = (ux[..., :, None] * uy[..., None, :]).reshape(ct, 4 * tile, 64)
-        r = (uz[..., :, None] * svals[..., None, :]).reshape(ct, 4 * tile, 32)
-        arena_out = jnp.einsum("tpe,tpf->tef", e, r)        # [C, 64, 32]
+        e = (ux[:, :, None, :] * uy[:, None, :, :]).reshape(ct, 64, 4 * tile)
+        r = (uz[:, :, None, :] * sv[:, None, :, :]).reshape(ct, 32, 4 * tile)
+        arena_out = jnp.einsum("tep,tfp->tef", e, r)         # [ct, 64, 32]
         arena_out = arena_out.reshape(ct, 8, 8, 8, 4)
 
-        blocks = _scatter_layout(cfg, arena_out)            # [C, 8, 4, bv]
+        blocks = _scatter_layout(cfg, arena_out)
         carry = carry.at[nb_slot.reshape(-1)].add(
             blocks.reshape(ct * 8, 4, cfg.block_volume)
         )
         return carry, (new_pos, new_fields, ok)
 
+    def bcoord_t(inp):
+        return inp[2]
+
     resh = lambda x: x.reshape((nchunks, tile_chunk) + x.shape[1:])
+    # bcoord is [3, T]: chunk along the tile axis, keeping components leading
+    bcoord_chunks = tm.bcoord.reshape(3, nchunks, tile_chunk).transpose(1, 0, 2)
     next_pool, (new_pos, new_fields, ok) = jax.lax.scan(
         chunk,
         next_pool,
-        (resh(tm.pidx), resh(tm.valid), resh(tm.bcoord), resh(tm.tvalid)),
+        (resh(tm.pidx), resh(tm.valid), bcoord_chunks, resh(tm.tvalid)),
     )
     # drop junk accumulated in the null block
     next_pool = next_pool.at[cfg.null_block].set(0.0)
 
     # --- write particle outputs back through the tile indirection ---
-    p = pos_all.shape[0]
-    flat_idx = jnp.where(ok, resh(tm.pidx), p).reshape(-1)  # OOB -> dropped
-    pos_out = pos_all.at[flat_idx].set(
-        new_pos.reshape(-1, 3), mode="drop"
-    )
+    flat_idx = jnp.where(ok, resh(tm.pidx), p_total).reshape(-1)
+    new_pos_flat = new_pos.transpose(1, 0, 2, 3).reshape(3, -1)
+    pos_out = pos_all.at[:, flat_idx].set(new_pos_flat, mode="drop")
     fields_out = {}
     for k, v in fields_all.items():
-        upd = new_fields[k].reshape((-1,) + v.shape[1:])
-        fields_out[k] = v.at[flat_idx].set(upd, mode="drop")
+        upd = new_fields[k]
+        if upd.ndim == 4:                                  # [nc, 9, ct, tile]
+            upd = upd.transpose(1, 0, 2, 3).reshape(v.shape[0], -1)
+            fields_out[k] = v.at[:, flat_idx].set(upd, mode="drop")
+        else:                                              # [nc, ct, tile]
+            fields_out[k] = v.at[flat_idx].set(upd.reshape(-1), mode="drop")
 
-    # particles that fell out of every tile (or escaped the arena) go inactive
-    covered = jnp.zeros((p + 1,), jnp.bool_).at[flat_idx].set(True, mode="drop")[:p]
+    covered = jnp.zeros((p_total + 1,), jnp.bool_).at[flat_idx].set(
+        True, mode="drop"
+    )[:p_total]
     active_out = model.active & covered
 
     new_model = ParticleModel(
@@ -252,30 +294,22 @@ def rasterize_model(
     def chunk(carry, inp):
         pidx, valid, bcoord, tvalid = inp
         ct = pidx.shape[0]
-        nb_slot = part.lookup(
-            cfg,
-            table,
-            bcoord[:, None, :]
-            + jnp.stack(
-                jnp.meshgrid(*([jnp.arange(2)] * 3), indexing="ij"), axis=-1
-            ).reshape(1, 8, 3),
-        )
+        arena_unused, nb_slot = _gather_arena(cfg, carry, table, bcoord)
+        del arena_unused
         nb_slot = jnp.where(tvalid[:, None], nb_slot, cfg.null_block)
-        pos = pos_all[pidx]
-        w, _, _, in_range = _bspline_onehot(cfg, pos, bcoord[:, None, :])
-        ok = (valid & in_range)[..., None].astype(pos.dtype)
-        wx, wy, wz = w[..., 0, :], w[..., 1, :], w[..., 2, :]
-        svals = (
-            jnp.concatenate(
-                [jnp.full((ct, tile, 1), mass, pos.dtype),
-                 jnp.broadcast_to(mass * v0, (ct, tile, 3))],
-                axis=-1,
-            )
-            * ok
-        )
-        e = (wx[..., :, None] * wy[..., None, :]).reshape(ct, tile, 64)
-        r = (wz[..., :, None] * svals[..., None, :]).reshape(ct, tile, 32)
-        arena_out = jnp.einsum("tpe,tpf->tef", e, r).reshape(ct, 8, 8, 8, 4)
+        pos = pos_all[:, pidx]
+        origin = (bcoord * cfg.block_size)[:, :, None]
+        w, _, in_range = _bspline_onehot(cfg, pos, origin)
+        wx, wy, wz = w
+        okf = (valid & in_range)[:, None, :].astype(pos.dtype)
+        sv = jnp.concatenate(
+            [jnp.full((ct, 1, tile), mass, pos.dtype),
+             jnp.broadcast_to((mass * v0)[None, :, None], (ct, 3, tile))],
+            axis=1,
+        ) * okf                                            # [ct, 4, tile]
+        e = (wx[:, :, None, :] * wy[:, None, :, :]).reshape(ct, 64, tile)
+        r = (wz[:, :, None, :] * sv[:, None, :, :]).reshape(ct, 32, tile)
+        arena_out = jnp.einsum("tep,tfp->tef", e, r).reshape(ct, 8, 8, 8, 4)
         blocks = _scatter_layout(cfg, arena_out)
         carry = carry.at[nb_slot.reshape(-1)].add(
             blocks.reshape(ct * 8, 4, cfg.block_volume)
@@ -283,8 +317,9 @@ def rasterize_model(
         return carry, None
 
     resh = lambda x: x.reshape((nchunks, tile_chunk) + x.shape[1:])
+    bcoord_chunks = tm.bcoord.reshape(3, nchunks, tile_chunk).transpose(1, 0, 2)
     pool, _ = jax.lax.scan(
         chunk, pool,
-        (resh(tm.pidx), resh(tm.valid), resh(tm.bcoord), resh(tm.tvalid)),
+        (resh(tm.pidx), resh(tm.valid), bcoord_chunks, resh(tm.tvalid)),
     )
     return pool.at[cfg.null_block].set(0.0)

@@ -8,15 +8,20 @@ reference G2P2G at Projects/GMPM/mgmpm_kernels.cuh:474-516).
 Design: each material is a frozen dataclass of *static* Python parameters
 (re-jit on change, mirroring the reference's template instantiation per
 material) plus a pure batched ``update`` function
-    update(mat, d_inv, dt, A, fields) -> (new_fields, contrib)
-where ``A`` is the unscaled APIC moment  A_rc = sum_i W_i v_i_r (x_i - x_p)_c
-gathered in G2P, ``fields`` is the material's particle state dict and
-``contrib`` is the Kirchhoff-like stress term P F^T V_0 used by the fused
-momentum scatter  Q = (A m - contrib * dt_next) * D_inv.
 
-The branchy plasticity projections become jnp.where ladders: both branches
-are evaluated vectorized on the VPU, which is the idiomatic (and on TPU the
-fast) formulation of the reference's divergent CUDA branches.
+    update(mat, d_inv, dt, A, fields) -> (new_fields, contrib)
+
+where ``A`` is the unscaled APIC moment  A_rc = sum_i W_i v_i_r (x_i - x_p)_c
+gathered in G2P, given in *structure-of-arrays* form (ops.soa3.Mat3: nine
+[N] component arrays), ``fields`` maps field name -> array ([N, 9] for F,
+[N] for scalars), and ``contrib`` is the Kirchhoff-like stress  P F^T V_0
+(also SoA) consumed by the fused momentum scatter
+Q = (A m - contrib dt_next) D^-1.
+
+All 3x3 math runs on component arrays so every op is a full-width VPU
+instruction (an [N, 3, 3] layout wastes ~40x of each TPU vector register).
+The branchy plasticity projections become jnp.where ladders on [N] scalars —
+the idiomatic TPU form of the reference's divergent CUDA branches.
 """
 
 from __future__ import annotations
@@ -27,17 +32,38 @@ from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 
-from ..ops import math3d
+from ..ops import soa3
+from ..ops.soa3 import Mat3
 
 Fields = Dict[str, jnp.ndarray]
 
-_I3 = jnp.eye(3, dtype=jnp.float32)
+_I9 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
 
 
 def lame_parameters(e: float, nu: float) -> Tuple[float, float]:
     lam = e * nu / ((1 + nu) * (1 - 2 * nu))
     mu = e / (2 * (1 + nu))
     return lam, mu
+
+
+def identity_f9(n: int) -> jnp.ndarray:
+    """Component-leading identity deformation gradients: [9, n]."""
+    return jnp.tile(jnp.asarray(_I9, jnp.float32)[:, None], (1, n))
+
+
+def f9_to_soa(f: jnp.ndarray) -> Mat3:
+    """[9, ...] -> nine component arrays."""
+    return tuple(f[k] for k in range(9))
+
+
+def soa_to_f9(m: Mat3) -> jnp.ndarray:
+    return jnp.stack(m, axis=0)
+
+
+def deformation_update(a: Mat3, dt, d_inv, f: Mat3) -> Mat3:
+    """F <- (I + dt D^-1 A) F (MLS-MPM, reference mgmpm_kernels.cuh:520-525)."""
+    c = soa3.add_scaled_identity(soa3.scale(a, dt * d_inv), 1.0)
+    return soa3.matmul(c, f)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,13 +78,13 @@ class Material:
         return self.rho * self.volume
 
     name: str = "base"
-    # particle fields beyond position this material carries
+    # particle fields beyond position: (name, per-particle shape)
     field_specs: Tuple[Tuple[str, Tuple[int, ...]], ...] = ()
 
     def init_fields(self, n: int) -> Fields:
         raise NotImplementedError
 
-    def update(self, d_inv, dt, A, fields: Fields):
+    def update(self, d_inv, dt, A: Mat3, fields: Fields):
         raise NotImplementedError
 
 
@@ -75,15 +101,18 @@ class JFluid(Material):
     def init_fields(self, n: int) -> Fields:
         return {"J": jnp.ones((n,), jnp.float32)}
 
-    def update(self, d_inv, dt, A, fields: Fields):
+    def update(self, d_inv, dt, A: Mat3, fields: Fields):
         J = fields["J"]
-        trA = math3d.trace3(A)
-        J = J + trA * dt * d_inv * J
+        J = J + soa3.trace(A) * (dt * d_inv) * J
         J = jnp.maximum(J, 0.1)
         voln = J * self.volume
         pressure = self.bulk * (jnp.power(J, -self.gamma) - 1.0)
-        sym = (A + jnp.swapaxes(A, -1, -2)) * (d_inv * self.viscosity)
-        contrib = (sym - pressure[..., None, None] * _I3) * voln[..., None, None]
+        vd = d_inv * self.viscosity
+        at = soa3.transpose(A)
+        sym = tuple((x + y) * vd for x, y in zip(A, at))
+        contrib = soa3.scale(
+            soa3.add_scaled_identity(sym, -pressure), voln
+        )
         return {"J": J}, contrib
 
 
@@ -94,32 +123,27 @@ class FixedCorotated(Material):
     e: float = 5e3
     nu: float = 0.4
     name: str = "fixed_corotated"
-    field_specs: Tuple[Tuple[str, Tuple[int, ...]], ...] = (("F", (3, 3)),)
+    field_specs: Tuple[Tuple[str, Tuple[int, ...]], ...] = (("F", (9,)),)
 
     @property
     def lame(self) -> Tuple[float, float]:
         return lame_parameters(self.e, self.nu)
 
     def init_fields(self, n: int) -> Fields:
-        return {"F": jnp.broadcast_to(_I3, (n, 3, 3)).copy()}
+        return {"F": identity_f9(n)}
 
-    def update(self, d_inv, dt, A, fields: Fields):
+    def update(self, d_inv, dt, A: Mat3, fields: Fields):
         lam, mu = self.lame
-        F = (_I3 + (dt * d_inv) * A) @ fields["F"]
-        u, s, v = math3d.svd3(F)
-        J = s[..., 0] * s[..., 1] * s[..., 2]
-        scaled_lambda = lam * (J - 1.0)
-        p_hat = jnp.stack(
-            [
-                2.0 * mu * (s[..., 0] - 1.0) + scaled_lambda * s[..., 1] * s[..., 2],
-                2.0 * mu * (s[..., 1] - 1.0) + scaled_lambda * s[..., 0] * s[..., 2],
-                2.0 * mu * (s[..., 2] - 1.0) + scaled_lambda * s[..., 0] * s[..., 1],
-            ],
-            axis=-1,
-        )
-        P = math3d.u_sigma_vt(u, p_hat, v)
-        contrib = (P @ jnp.swapaxes(F, -1, -2)) * self.volume
-        return {"F": F}, contrib
+        f = deformation_update(A, dt, d_inv, f9_to_soa(fields["F"]))
+        u, (s0, s1, s2), v = soa3.svd3(f)
+        J = s0 * s1 * s2
+        sl = lam * (J - 1.0)
+        p0 = 2.0 * mu * (s0 - 1.0) + sl * s1 * s2
+        p1 = 2.0 * mu * (s1 - 1.0) + sl * s0 * s2
+        p2 = 2.0 * mu * (s2 - 1.0) + sl * s0 * s1
+        P = soa3.u_diag_vt(u, p0, p1, p2, v)
+        contrib = soa3.scale(soa3.matmul_bt(P, f), self.volume)
+        return {"F": soa_to_f9(f)}, contrib
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,7 +160,7 @@ class Sand(Material):
     volume_correction: bool = True
     name: str = "sand"
     field_specs: Tuple[Tuple[str, Tuple[int, ...]], ...] = (
-        ("F", (3, 3)),
+        ("F", (9,)),
         ("logJp", ()),
     )
 
@@ -151,52 +175,56 @@ class Sand(Material):
 
     def init_fields(self, n: int) -> Fields:
         return {
-            "F": jnp.broadcast_to(_I3, (n, 3, 3)).copy(),
+            "F": identity_f9(n),
             "logJp": jnp.full((n,), self.log_jp0, jnp.float32),
         }
 
-    def update(self, d_inv, dt, A, fields: Fields):
+    def update(self, d_inv, dt, A: Mat3, fields: Fields):
         lam, mu = self.lame
-        F = (_I3 + (dt * d_inv) * A) @ fields["F"]
+        f = deformation_update(A, dt, d_inv, f9_to_soa(fields["F"]))
         log_jp = fields["logJp"]
-        u, s, v = math3d.svd3(F)
+        u, s, v = soa3.svd3(f)
 
-        eps = jnp.log(jnp.maximum(jnp.abs(s), 1e-4)) - self.cohesion
-        sum_eps = jnp.sum(eps, axis=-1)
+        eps = [jnp.log(jnp.maximum(jnp.abs(sk), 1e-4)) - self.cohesion for sk in s]
+        sum_eps = eps[0] + eps[1] + eps[2]
         trace_eps = sum_eps + log_jp
-        eps_hat = eps - (trace_eps / 3.0)[..., None]
-        eps_hat_norm = jnp.linalg.norm(eps_hat, axis=-1)
-        safe_norm = jnp.maximum(eps_hat_norm, 1e-20)
+        third = trace_eps / 3.0
+        eps_hat = [e_ - third for e_ in eps]
+        hat_sqr = eps_hat[0] ** 2 + eps_hat[1] ** 2 + eps_hat[2] ** 2
+        hat_norm = jnp.sqrt(hat_sqr)
+        safe_norm = jnp.maximum(hat_norm, 1e-20)
 
-        # case II: project to cone tip
         tip = trace_eps >= 0.0
-        s_tip = jnp.full_like(eps, math.exp(self.cohesion))
+        s_tip = math.exp(self.cohesion)
 
-        # case I/III
         delta_gamma = (
-            eps_hat_norm
+            hat_norm
             + (3.0 * lam + 2.0 * mu) / (2.0 * mu) * trace_eps * self.yield_surface
         )
-        h_inside = eps + self.cohesion
-        h_project = eps - (delta_gamma / safe_norm)[..., None] * eps_hat + self.cohesion
-        h = jnp.where((delta_gamma <= 0.0)[..., None], h_inside, h_project)
-        s_cone = jnp.exp(h)
+        inside = delta_gamma <= 0.0
+        coef = delta_gamma / safe_norm
+        new_s = []
+        for k in range(3):
+            h_in = eps[k] + self.cohesion
+            h_proj = eps[k] - coef * eps_hat[k] + self.cohesion
+            h = jnp.where(inside, h_in, h_proj)
+            new_s.append(jnp.where(tip, s_tip, jnp.exp(h)))
 
-        new_s = jnp.where(tip[..., None], s_tip, s_cone)
-        new_log_jp = jnp.where(
-            tip,
-            (self.beta * sum_eps + log_jp) if self.volume_correction else log_jp,
-            0.0,
-        )
-        F = math3d.u_sigma_vt(u, new_s, v)
+        if self.volume_correction:
+            new_log_jp = jnp.where(tip, self.beta * sum_eps + log_jp, 0.0)
+        else:
+            new_log_jp = jnp.where(tip, log_jp, 0.0)
 
-        # StvkHencky stress on the projected state
-        log_s = jnp.log(new_s)
-        trace_log_s = jnp.sum(log_s, axis=-1)
-        p_hat = (2.0 * mu * log_s + lam * trace_log_s[..., None]) / new_s
-        P = math3d.u_sigma_vt(u, p_hat, v)
-        contrib = (P @ jnp.swapaxes(F, -1, -2)) * self.volume
-        return {"F": F, "logJp": new_log_jp}, contrib
+        f = soa3.u_diag_vt(u, new_s[0], new_s[1], new_s[2], v)
+
+        log_s = [jnp.log(ns) for ns in new_s]
+        trace_log = log_s[0] + log_s[1] + log_s[2]
+        ph = [
+            (2.0 * mu * log_s[k] + lam * trace_log) / new_s[k] for k in range(3)
+        ]
+        P = soa3.u_diag_vt(u, ph[0], ph[1], ph[2], v)
+        contrib = soa3.scale(soa3.matmul_bt(P, f), self.volume)
+        return {"F": soa_to_f9(f), "logJp": new_log_jp}, contrib
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,7 +240,7 @@ class NACC(Material):
     hardening_on: bool = True
     name: str = "nacc"
     field_specs: Tuple[Tuple[str, Tuple[int, ...]], ...] = (
-        ("F", (3, 3)),
+        ("F", (9,)),
         ("logJp", ()),
     )
 
@@ -234,71 +262,69 @@ class NACC(Material):
 
     def init_fields(self, n: int) -> Fields:
         return {
-            "F": jnp.broadcast_to(_I3, (n, 3, 3)).copy(),
+            "F": identity_f9(n),
             "logJp": jnp.full((n,), self.log_jp0, jnp.float32),
         }
 
-    def update(self, d_inv, dt, A, fields: Fields):
-        lam, mu = self.lame
-        del lam  # NACC uses the bulk modulus formulation
+    def update(self, d_inv, dt, A: Mat3, fields: Fields):
+        _, mu = self.lame
         bm, xi, beta, msqr = self.bm, self.xi, self.beta, self.msqr
-        F = (_I3 + (dt * d_inv) * A) @ fields["F"]
+        f = deformation_update(A, dt, d_inv, f9_to_soa(fields["F"]))
         log_jp = fields["logJp"]
-        u, s, v = math3d.svd3(F)
+        u, (s0, s1, s2), v = soa3.svd3(f)
 
         p0 = bm * (1e-5 + jnp.sinh(xi * jnp.maximum(-log_jp, 0.0)))
         p_min = -beta * p0
-        je_trial = s[..., 0] * s[..., 1] * s[..., 2]
+        je = s0 * s1 * s2
 
-        b_hat = s * s
-        trace_b_div3 = jnp.sum(b_hat, axis=-1) / 3.0
-        j_pow_mu = mu * jnp.power(je_trial, -2.0 / 3.0)
-        s_hat = j_pow_mu[..., None] * (b_hat - trace_b_div3[..., None])
-        psi_kappa_dj = bm * 0.5 * (je_trial - 1.0 / je_trial)
-        p_trial = -psi_kappa_dj * je_trial
+        b0, b1, b2 = s0 * s0, s1 * s1, s2 * s2
+        tr3 = (b0 + b1 + b2) / 3.0
+        jmu = mu * jnp.power(je, -2.0 / 3.0)
+        sh0, sh1, sh2 = jmu * (b0 - tr3), jmu * (b1 - tr3), jmu * (b2 - tr3)
+        p_trial = -bm * 0.5 * (je - 1.0 / je) * je
 
         ys_half = 1.5 * (1.0 + 2.0 * beta)
         yp_half = msqr * (p_trial - p_min) * (p_trial - p0)
-        s_hat_sqr = jnp.sum(s_hat * s_hat, axis=-1)
-        y = ys_half * s_hat_sqr + yp_half
+        sh_sqr = sh0 * sh0 + sh1 * sh1 + sh2 * sh2
+        y = ys_half * sh_sqr + yp_half
 
-        # --- case 1/2: project to a tip of the yield surface ---
         hit_max = p_trial > p0
         hit_min = p_trial < p_min
+        hit = hit_max | hit_min
         p_tip = jnp.where(hit_max, p0, p_min)
         je_tip = jnp.sqrt(jnp.maximum(-2.0 * p_tip / bm + 1.0, 1e-12))
-        s_tip = jnp.power(je_tip, 1.0 / 3.0)[..., None] * jnp.ones_like(s)
+        s_tip = jnp.power(je_tip, 1.0 / 3.0)
 
-        # --- case 3: yield-surface projection when outside ---
-        outside = (~hit_max) & (~hit_min) & (y >= 1e-4)
-        safe_shat = jnp.maximum(s_hat_sqr, 1e-20)
-        b_s_coeff = (
-            jnp.power(je_trial, 2.0 / 3.0)
-            / mu
+        outside = (~hit) & (y >= 1e-4)
+        safe_sh = jnp.maximum(sh_sqr, 1e-20)
+        b_coeff = (
+            jnp.power(je, 2.0 / 3.0) / mu
             * jnp.sqrt(jnp.maximum(-yp_half, 0.0) / ys_half)
-            / jnp.sqrt(safe_shat)
+            / jnp.sqrt(safe_sh)
         )
-        s_proj = jnp.sqrt(
-            jnp.maximum(s_hat * b_s_coeff[..., None] + trace_b_div3[..., None], 1e-12)
-        )
+        proj = [
+            jnp.sqrt(jnp.maximum(shk * b_coeff + tr3, 1e-12))
+            for shk in (sh0, sh1, sh2)
+        ]
+        new_s = [
+            jnp.where(hit, s_tip, jnp.where(outside, pk, sk))
+            for pk, sk in zip(proj, (s0, s1, s2))
+        ]
 
-        new_s = jnp.where(
-            (hit_max | hit_min)[..., None], s_tip, jnp.where(outside[..., None], s_proj, s)
-        )
-
-        # --- hardening (19 Josh fracture paper solve, USE_JOSH_FRACTURE_PAPER) ---
         new_log_jp = log_jp
         if self.hardening_on:
             tip_update = jnp.log(
-                jnp.maximum(je_trial, 1e-12) / jnp.maximum(je_tip, 1e-12)
+                jnp.maximum(je, 1e-12) / jnp.maximum(je_tip, 1e-12)
             )
-            new_log_jp = jnp.where(hit_max | hit_min, log_jp + tip_update, new_log_jp)
+            new_log_jp = jnp.where(hit, log_jp + tip_update, new_log_jp)
 
-            harden3 = outside & (p0 > 1e-4) & (p_trial < p0 - 1e-4) & (p_trial > 1e-4 + p_min)
+            harden3 = (
+                outside & (p0 > 1e-4) & (p_trial < p0 - 1e-4)
+                & (p_trial > 1e-4 + p_min)
+            )
             p_center = (1.0 - beta) * p0 / 2.0
-            q_trial = jnp.sqrt(1.5 * safe_shat)
-            dir0 = p_center - p_trial
-            dir1 = -q_trial
+            q_trial = jnp.sqrt(1.5 * safe_sh)
+            dir0, dir1 = p_center - p_trial, -q_trial
             dn = jnp.sqrt(jnp.maximum(dir0 * dir0 + dir1 * dir1, 1e-20))
             dir0, dir1 = dir0 / dn, dir1 / dn
             cc = msqr * (p_center - p_min) * (p_center - p0)
@@ -311,23 +337,26 @@ class NACC(Material):
             p1 = p_center + l1 * dir0
             p2 = p_center + l2 * dir0
             p_fake = jnp.where((p_trial - p_center) * (p1 - p_center) > 0.0, p1, p2)
-            je_sqr = -2.0 * p_fake / bm + 1.0
-            je_fake = jnp.sqrt(jnp.abs(je_sqr))
-            h_update = jnp.log(jnp.maximum(je_trial, 1e-12) / jnp.maximum(je_fake, 1e-12))
-            new_log_jp = jnp.where(harden3 & (je_fake > 1e-4), new_log_jp + h_update, new_log_jp)
+            je_fake = jnp.sqrt(jnp.abs(-2.0 * p_fake / bm + 1.0))
+            h_update = jnp.log(
+                jnp.maximum(je, 1e-12) / jnp.maximum(je_fake, 1e-12)
+            )
+            new_log_jp = jnp.where(
+                harden3 & (je_fake > 1e-4), new_log_jp + h_update, new_log_jp
+            )
 
-        F = math3d.u_sigma_vt(u, new_s, v)
+        f = soa3.u_diag_vt(u, new_s[0], new_s[1], new_s[2], v)
 
-        # --- elasticity on renewed F ---
-        J = new_s[..., 0] * new_s[..., 1] * new_s[..., 2]
-        b = F @ jnp.swapaxes(F, -1, -2)
-        b_dev = math3d.deviatoric(b)
-        dev_b_coeff = mu * jnp.power(jnp.maximum(J, 1e-12), -2.0 / 3.0)
+        J = new_s[0] * new_s[1] * new_s[2]
+        b = soa3.matmul_bt(f, f)
+        b_dev = soa3.add_scaled_identity(b, -soa3.trace(b) / 3.0)
+        dev_coeff = mu * jnp.power(jnp.maximum(J, 1e-12), -2.0 / 3.0)
         i_coeff = bm * 0.5 * ((J * J - 1.0) * 0.5 - jnp.log(jnp.maximum(J, 1e-12)))
-        contrib = (
-            dev_b_coeff[..., None, None] * b_dev + i_coeff[..., None, None] * _I3
-        ) * self.volume
-        return {"F": F, "logJp": new_log_jp}, contrib
+        contrib = soa3.scale(
+            soa3.add_scaled_identity(soa3.scale(b_dev, dev_coeff), i_coeff),
+            self.volume,
+        )
+        return {"F": soa_to_f9(f), "logJp": new_log_jp}, contrib
 
 
 MATERIALS: Dict[str, Any] = {

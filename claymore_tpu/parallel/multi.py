@@ -69,20 +69,19 @@ class HaloComm:
 
     # -- halo windows --------------------------------------------------
     def _window_coords(self, x_start):
-        """Block coords of a window of 2*margin x-layers: [2m, G, G, 3]."""
+        """Block coords of a window of 2*margin x-layers: [3, 2m, G, G]."""
         g = self.cfg.grid_size
         m = self.margin
         xs = x_start + jnp.arange(2 * m)
         yy, zz = jnp.meshgrid(jnp.arange(g), jnp.arange(g), indexing="ij")
-        coords = jnp.stack(
+        return jnp.stack(
             [
                 jnp.broadcast_to(xs[:, None, None], (2 * m, g, g)),
                 jnp.broadcast_to(yy[None], (2 * m, g, g)),
                 jnp.broadcast_to(zz[None], (2 * m, g, g)),
             ],
-            axis=-1,
+            axis=0,
         )
-        return coords
 
     def _extract(self, pool, table, coords):
         slots = part.lookup(self.cfg, table, coords)         # [2m, G, G]
@@ -137,8 +136,8 @@ class HaloComm:
         perm_l = [(j + 1, j) for j in range(n - 1)]
         out = []
         for model in models:
-            p = model.pos.shape[0]
-            hbx = part.home_block(cfg, model.pos)[:, 0]
+            p = model.pos.shape[1]
+            hbx = part.home_block(cfg, model.pos)[0]
             active = model.active
             payloads = {}
             for name, cond, perm in (
@@ -149,9 +148,9 @@ class HaloComm:
                 valid = idx < p
                 gidx = jnp.minimum(idx, p - 1)
                 payload = {
-                    "pos": model.pos[gidx],
+                    "pos": model.pos[:, gidx],
                     "valid": valid,
-                    **{f: v[gidx] for f, v in model.fields.items()},
+                    **{f: v[..., gidx] for f, v in model.fields.items()},
                 }
                 payloads[name] = jax.tree.map(
                     lambda x: jax.lax.ppermute(x, self.axis, perm), payload
@@ -168,9 +167,9 @@ class HaloComm:
                 (free,) = jnp.nonzero(~active, size=k, fill_value=p)
                 ok = rv["valid"] & (free < p)
                 tgt = jnp.where(ok, free, p)
-                pos = pos.at[tgt].set(rv["pos"], mode="drop")
+                pos = pos.at[:, tgt].set(rv["pos"], mode="drop")
                 for f in fields:
-                    fields[f] = fields[f].at[tgt].set(rv[f], mode="drop")
+                    fields[f] = fields[f].at[..., tgt].set(rv[f], mode="drop")
                 active = active.at[tgt].set(True, mode="drop")
             out.append(model._replace(pos=pos, fields=fields, active=active))
         return out
@@ -227,18 +226,18 @@ class MultiChipEngine:
             counts = np.bincount(shard, minlength=nd)
             pcap = int(np.ceil(counts.max() * self.capacity_factor))
             pcap = max(pcap, 8)
-            pos_sh = np.zeros((nd, pcap, 3), np.float32)
-            act_sh = np.zeros((nd, pcap), bool)
+            pos_sh = np.zeros((3, nd * pcap), np.float32)
+            act_sh = np.zeros((nd * pcap,), bool)
             for d in range(nd):
                 sel = raw[shard == d]
-                pos_sh[d, : len(sel)] = sel
-                act_sh[d, : len(sel)] = True
+                pos_sh[:, d * pcap : d * pcap + len(sel)] = sel.T
+                act_sh[d * pcap : d * pcap + len(sel)] = True
             self._pcaps.append(pcap)
             nt = cfg.tiles_for(pcap)
             nt = -(-nt // self.tile_chunk) * self.tile_chunk
             self._num_tiles.append(nt)
-            pos_stacked.append(jnp.asarray(pos_sh.reshape(nd * pcap, 3)))
-            act_stacked.append(jnp.asarray(act_sh.reshape(nd * pcap)))
+            pos_stacked.append(jnp.asarray(pos_sh))
+            act_stacked.append(jnp.asarray(act_sh))
 
         v0s = tuple(tuple(float(c) for c in v) for v in model_velocities)
         init_fn = functools.partial(
@@ -259,7 +258,7 @@ class MultiChipEngine:
             jax.shard_map(
                 _init,
                 mesh=self.mesh,
-                in_specs=(tuple(P(ax) for _ in pos_stacked),
+                in_specs=(tuple(P(None, ax) for _ in pos_stacked),
                           tuple(P(ax) for _ in act_stacked)),
                 out_specs=self._out_state_spec(),
                 check_vma=False,
@@ -272,11 +271,14 @@ class MultiChipEngine:
         part_spec = part.Partition(table=P(ax), keys=P(ax), count=P(ax),
                                    overflow=P(ax))
         tile_spec = part.TileMap(pidx=P(ax), valid=P(ax), block=P(ax),
-                                 bcoord=P(ax), tvalid=P(ax), dropped=P(ax))
+                                 bcoord=P(None, ax), tvalid=P(ax), dropped=P(ax))
         model_specs = tuple(
             ParticleModel(
-                pos=P(ax),
-                fields={k: P(ax) for k, _ in mat.field_specs},
+                pos=P(None, ax),
+                fields={
+                    k: (P(None, ax) if shp else P(ax))
+                    for k, shp in mat.field_specs
+                },
                 active=P(ax),
                 tiles=tile_spec,
             )
@@ -325,7 +327,7 @@ class MultiChipEngine:
     # -- inspection ----------------------------------------------------
     def get_positions(self, state: SimState, model_idx: int = 0) -> np.ndarray:
         m = state.models[model_idx]
-        pos = np.asarray(m.pos)
+        pos = np.asarray(m.pos).T
         act = np.asarray(m.active)
         return pos[act]
 

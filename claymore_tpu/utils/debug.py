@@ -21,7 +21,7 @@ def pool_to_dense(cfg: SimConfig, state: SimState):
     count = int(np.asarray(state.partition.count)[0])
     coords = np.asarray(unflatten_key(cfg, state.partition.keys))
     for s in range(count):
-        bx, by, bz = coords[s] * bs
+        bx, by, bz = coords[:, s] * bs
         blk = pool[s].reshape(4, bs, bs, bs)
         m[bx : bx + bs, by : by + bs, bz : bz + bs] = blk[0]
         mom[bx : bx + bs, by : by + bs, bz : bz + bs] = np.moveaxis(blk[1:4], 0, -1)

@@ -41,6 +41,8 @@ def test_substep_matches_dense_reference(mat_name):
     rfields = {
         k: np.asarray(v, np.float64) for k, v in state.models[0].fields.items()
     }
+    if "F" in rfields:
+        rfields["F"] = rfields["F"].T.reshape(-1, 3, 3)  # [9, n] -> [n, 3, 3]
     frame_end = jnp.float32(1.0)
     for _ in range(2):
         dt = float(state.dt)
@@ -54,12 +56,15 @@ def test_substep_matches_dense_reference(mat_name):
         assert abs(float(state.dt) - next_dt) < 1e-9 * max(1.0, next_dt)
 
         # particle positions match
-        epos = np.asarray(state.models[0].pos, np.float64)
+        epos = np.asarray(state.models[0].pos, np.float64).T
         assert np.max(np.abs(epos - rpos)) < 5e-6, np.max(np.abs(epos - rpos))
         # fields match
         for k in rfields:
             ev = np.asarray(state.models[0].fields[k], np.float64)
-            assert np.max(np.abs(ev - rfields[k])) < 5e-4, (k,)
+            if k == "F":
+                ev = ev.T.reshape(-1, 3, 3)  # [9, n] -> [n, 3, 3]
+            rv = rfields[k]
+            assert np.max(np.abs(ev - rv)) < 5e-4, (k,)
         # grids match
         em, emom = pool_to_dense(cfg, state)
         scale = max(1.0, ref.grid_m.max())
@@ -108,7 +113,7 @@ def test_partition_and_tile_invariants():
     check_tiles(cfg, state)
     # home-block binding: every particle's stencil lies inside its tile arena
     from claymore_tpu.core.partition import home_block, lookup
-    hb = np.asarray(home_block(cfg, state.models[0].pos))
+    hb = np.asarray(home_block(cfg, state.models[0].pos))  # [3, P]
     slot = np.asarray(lookup(cfg, state.partition.table, jnp.asarray(hb)))
     tm = state.models[0].tiles
     tslot = np.asarray(tm.block)
