@@ -1,0 +1,273 @@
+"""Collision objects / boundary conditions.
+
+TPU-native re-implementation of the reference's grid-space collision objects
+(reference: Projects/MGSP/boundary_condition.cuh — SignedDistanceGrid
+:15-137, animated rigid transform and STICKY/SLIP/SEPARATE projection with
+Coulomb friction in detect_and_resolve_collision :159-249).  The per-cell
+CUDA loop becomes a vectorized ``resolve(cell_positions, velocities, t)``
+over the whole sparse grid pool; the trilinear SDF fetch is a dense gather.
+
+Beyond the reference we add analytic colliders (half-space, sphere, box) —
+they share the same projection math and need no SDF asset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+STICKY = "sticky"
+SLIP = "slip"
+SEPARATE = "separate"
+
+
+def _project(vel_rel, n, kind: str, friction: float):
+    """Velocity projection in the object frame (reference
+    boundary_condition.cuh:197-246).  vel_rel, n: [..., 3, cells]-style
+    component-leading stacks ([3, ...])."""
+    if kind == STICKY:
+        return jnp.zeros_like(vel_rel)
+
+    v_dot_n = jnp.sum(vel_rel * n, axis=0, keepdims=True)
+    tangential = vel_rel - n * v_dot_n
+
+    if kind == SLIP:
+        out = tangential
+        if friction > 0.0:
+            vn = jnp.sqrt(jnp.sum(tangential * tangential, axis=0, keepdims=True))
+            safe_vn = jnp.maximum(vn, 1e-20)
+            slowed = tangential * (1.0 + v_dot_n * friction / safe_vn)
+            stop = -v_dot_n * friction >= vn
+            out = jnp.where((v_dot_n < 0) & stop, 0.0, jnp.where(v_dot_n < 0, slowed, tangential))
+        return out
+
+    if kind == SEPARATE:
+        out = jnp.where(v_dot_n < 0, tangential, vel_rel)
+        if friction != 0.0:
+            vn = jnp.sqrt(jnp.sum(tangential * tangential, axis=0, keepdims=True))
+            safe_vn = jnp.maximum(vn, 1e-20)
+            slowed = tangential * (1.0 + v_dot_n * friction / safe_vn)
+            stop = -v_dot_n * friction >= vn
+            out = jnp.where(
+                v_dot_n < 0,
+                jnp.where(stop, 0.0, slowed),
+                vel_rel,
+            )
+        return out
+    raise ValueError(f"unknown boundary type {kind}")
+
+
+def _rot_xyz(omega, t):
+    """R = Rx(ox t) @ Ry(oy t) @ Rz(oz t) as a [3, 3] jnp matrix
+    (reference rot_angle_to_matrix chain, boundary_condition.cuh:163-178)."""
+    ax, ay, az = (omega[0] * t, omega[1] * t, omega[2] * t)
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    rx = jnp.array([[1, 0, 0], [0, 0, 0], [0, 0, 0]], jnp.float32)
+    rx = jnp.stack([
+        jnp.stack([jnp.float32(1), jnp.float32(0), jnp.float32(0)]),
+        jnp.stack([jnp.float32(0), cx, -sx]),
+        jnp.stack([jnp.float32(0), sx, cx]),
+    ])
+    ry = jnp.stack([
+        jnp.stack([cy, jnp.float32(0), sy]),
+        jnp.stack([jnp.float32(0), jnp.float32(1), jnp.float32(0)]),
+        jnp.stack([-sy, jnp.float32(0), cy]),
+    ])
+    rz = jnp.stack([
+        jnp.stack([cz, -sz, jnp.float32(0)]),
+        jnp.stack([sz, cz, jnp.float32(0)]),
+        jnp.stack([jnp.float32(0), jnp.float32(0), jnp.float32(1)]),
+    ])
+    return rx @ ry @ rz
+
+
+@dataclasses.dataclass(frozen=True)
+class RigidMotion:
+    """Animated rigid transform x(t) = R(t) s(t) X + b(t)
+    (reference boundary_condition.cuh:150-158)."""
+
+    trans: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    trans_vel: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    omega: Tuple[float, float, float] = (0.0, 0.0, 0.0)   # rotation rates
+    scale: float = 1.0
+    dsdt: float = 0.0
+
+    @property
+    def is_static(self) -> bool:
+        return (
+            self.trans_vel == (0.0, 0.0, 0.0)
+            and self.omega == (0.0, 0.0, 0.0)
+            and self.dsdt == 0.0
+        )
+
+
+class ColliderBase:
+    """Shared animated-transform machinery.  Subclasses implement
+    ``sdf_and_normal(x_mat)`` in material space."""
+
+    kind: str
+    friction: float
+    motion: RigidMotion
+
+    def __init__(self, kind=STICKY, friction=0.0, motion: Optional[RigidMotion] = None):
+        assert kind in (STICKY, SLIP, SEPARATE)
+        self.kind = kind
+        self.friction = float(friction)
+        self.motion = motion or RigidMotion()
+
+    def sdf_and_normal(self, x):
+        raise NotImplementedError
+
+    def resolve(self, xw, vel, t):
+        """xw: [B, 3, bv] world cell positions; vel: [B, 3, bv]; t: scalar.
+        Returns projected velocities (reference detect_and_resolve_collision,
+        boundary_condition.cuh:159-249)."""
+        mo = self.motion
+        xw = jnp.moveaxis(xw, 1, 0)                       # [3, B, bv]
+        v = jnp.moveaxis(vel, 1, 0)
+
+        b = jnp.asarray(mo.trans, jnp.float32) + jnp.asarray(mo.trans_vel, jnp.float32) * t
+        x_mt = xw - b[:, None, None]
+        s = 1.0 + mo.dsdt * t
+        x0 = x_mt / s
+        omega = jnp.asarray(mo.omega, jnp.float32)
+        r = _rot_xyz(omega, t)                            # [3, 3]
+        # material coords: X = R^T x0 (then object's own scale/offset inside sdf)
+        x_mat = jnp.einsum("ji,jbc->ibc", r, x0)
+
+        sd, n_mat = self.sdf_and_normal(x_mat)            # [B, bv], [3, B, bv]
+        hit = sd <= 0.0
+
+        # object velocity field at x (world space)
+        v_obj = (
+            jnp.stack([
+                omega[1] * x_mt[2] - omega[2] * x_mt[1],
+                omega[2] * x_mt[0] - omega[0] * x_mt[2],
+                omega[0] * x_mt[1] - omega[1] * x_mt[0],
+            ])
+            + x_mt * (mo.dsdt / max(mo.scale, 1e-20))
+            + jnp.asarray(mo.trans_vel, jnp.float32)[:, None, None]
+        )
+
+        n_world = jnp.einsum("ij,jbc->ibc", r, n_mat)
+        v_rel = v - v_obj
+        v_proj = _project(v_rel, n_world, self.kind, self.friction) + v_obj
+        v_new = jnp.where(hit[None], v_proj, v)
+        return jnp.moveaxis(v_new, 0, 1)
+
+
+class HalfSpace(ColliderBase):
+    """Analytic plane collider: sdf = (x - origin) . normal."""
+
+    def __init__(self, origin, normal, kind=SLIP, friction=0.0, motion=None):
+        super().__init__(kind, friction, motion)
+        self.origin = tuple(float(c) for c in origin)
+        n = np.asarray(normal, np.float64)
+        n = n / np.linalg.norm(n)
+        self.normal = tuple(float(c) for c in n)
+
+    def sdf_and_normal(self, x):
+        o = jnp.asarray(self.origin, jnp.float32)[:, None, None]
+        n = jnp.asarray(self.normal, jnp.float32)[:, None, None]
+        sd = jnp.sum((x - o) * n, axis=0)
+        return sd, jnp.broadcast_to(n, x.shape)
+
+
+class Sphere(ColliderBase):
+    """Analytic sphere collider."""
+
+    def __init__(self, center, radius, kind=SEPARATE, friction=0.0, motion=None):
+        super().__init__(kind, friction, motion)
+        self.center = tuple(float(c) for c in center)
+        self.radius = float(radius)
+
+    def sdf_and_normal(self, x):
+        c = jnp.asarray(self.center, jnp.float32)[:, None, None]
+        d = x - c
+        r = jnp.sqrt(jnp.sum(d * d, axis=0))
+        sd = r - self.radius
+        n = d / jnp.maximum(r, 1e-20)[None]
+        return sd, n
+
+
+class Box(ColliderBase):
+    """Analytic AABB collider (material space)."""
+
+    def __init__(self, lo, hi, kind=STICKY, friction=0.0, motion=None):
+        super().__init__(kind, friction, motion)
+        self.lo = tuple(float(c) for c in lo)
+        self.hi = tuple(float(c) for c in hi)
+
+    def sdf_and_normal(self, x):
+        lo = jnp.asarray(self.lo, jnp.float32)[:, None, None]
+        hi = jnp.asarray(self.hi, jnp.float32)[:, None, None]
+        center = (lo + hi) / 2
+        half = (hi - lo) / 2
+        d = jnp.abs(x - center) - half
+        outside = jnp.maximum(d, 0.0)
+        sd = jnp.sqrt(jnp.sum(outside * outside, axis=0)) + jnp.minimum(
+            jnp.max(d, axis=0), 0.0
+        )
+        # normal: axis of maximum penetration / exit
+        sgn = jnp.sign(x - center)
+        amax = jnp.argmax(d, axis=0)
+        n = jnp.stack([(amax == k).astype(jnp.float32) * sgn[k] for k in range(3)])
+        nn = jnp.sqrt(jnp.sum(n * n, axis=0))
+        return sd, n / jnp.maximum(nn, 1e-20)[None]
+
+
+class SignedDistanceCollider(ColliderBase):
+    """Dense SDF-grid collider (reference SignedDistanceGrid,
+    boundary_condition.cuh:15-137): trilinear value+gradient interpolation on
+    a node grid spanning the simulation domain."""
+
+    def __init__(
+        self,
+        sdf: np.ndarray,
+        dx: float,
+        kind=STICKY,
+        friction: float = 0.0,
+        motion: Optional[RigidMotion] = None,
+        gradients: Optional[np.ndarray] = None,
+        bound_cells: int = 8,
+    ):
+        super().__init__(kind, friction, motion)
+        sdf = np.asarray(sdf, np.float32)
+        if gradients is None:
+            gx, gy, gz = np.gradient(sdf, dx)
+            gradients = np.stack([gx, gy, gz], axis=0)
+        self.values = jnp.asarray(sdf)
+        self.grads = jnp.asarray(gradients.astype(np.float32))
+        self.dx = float(dx)
+        self.bound_cells = int(bound_cells)
+
+    def sdf_and_normal(self, x):
+        n = self.values.shape[0]
+        xc = x / self.dx
+        c0 = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, n - 2)
+        fr = xc - c0.astype(jnp.float32)
+        sd = jnp.zeros(x.shape[1:], jnp.float32)
+        nr = jnp.zeros_like(x)
+        for i in (0, 1):
+            wx = jnp.where(i == 0, 1.0 - fr[0], fr[0])
+            for j in (0, 1):
+                wy = jnp.where(j == 0, 1.0 - fr[1], fr[1])
+                for k in (0, 1):
+                    wz = jnp.where(k == 0, 1.0 - fr[2], fr[2])
+                    w = wx * wy * wz
+                    sd = sd + w * self.values[c0[0] + i, c0[1] + j, c0[2] + k]
+                    nr = nr + w[None] * self.grads[:, c0[0] + i, c0[1] + j, c0[2] + k]
+        # outside the valid interior band: no collision (reference query_sdf,
+        # boundary_condition.cuh:138-143)
+        lo = self.bound_cells * self.dx
+        hi = (n - self.bound_cells) * self.dx
+        inside = jnp.all((x >= lo) & (x < hi), axis=0)
+        sd = jnp.where(inside, sd, 1.0)
+        norm = jnp.sqrt(jnp.sum(nr * nr, axis=0))
+        return sd, nr / jnp.maximum(norm, 1e-20)[None]
