@@ -46,22 +46,34 @@ def init_impl(
 ) -> SimState:
     """Jittable initial setup: partition + tiles + rasterized grid
     (reference initial_setup, gmpm_simulator.cuh:637-781).  Runs per shard
-    under shard_map for the multi-chip engine."""
+    under shard_map for the multi-chip engine.
+
+    ``pos_tuple[i]`` is [3, S_i] with S_i = tile_counts[i] * particle_tile
+    (slot capacity); padding lanes are marked inactive in ``active_tuple``.
+    """
     pool = jnp.zeros((cfg.max_active_blocks + 1, 4, cfg.block_volume), jnp.float32)
+    plans = [
+        part.plan_tiles(cfg, pos, active, nt)
+        for pos, active, nt in zip(pos_tuple, active_tuple, tile_counts)
+    ]
     partition, pool = part.rebuild(
-        cfg, pool, empty_partition(cfg), tuple(pos_tuple), tuple(active_tuple)
+        cfg, pool, empty_partition(cfg), tuple(p.block_keys for p in plans)
     )
     models = []
-    for mat, pos, active, nt in zip(materials, pos_tuple, active_tuple, tile_counts):
-        n = pos.shape[1]  # pos is component-leading [3, P]
-        models.append(
-            ParticleModel(
-                pos=pos,
-                fields=mat.init_fields(n),
-                active=active,
-                tiles=part.build_tiles(cfg, partition, pos, active, nt),
-            )
+    for mat, pos, active, nt, plan in zip(
+        materials, pos_tuple, active_tuple, tile_counts, plans
+    ):
+        s_cap = pos.shape[1]
+        assert s_cap == nt * cfg.particle_tile, (s_cap, nt)
+        raw = ParticleModel(
+            pos=pos,
+            fields=mat.init_fields(s_cap),
+            active=active,
+            pid=jnp.where(active, jnp.arange(s_cap, dtype=jnp.int32), s_cap),
+            tiles=None,
         )
+        tm = part.finalize_tiles(cfg, partition, plan)
+        models.append(part.apply_slot_permutation(raw, tm, plan))
     for mat, model, v0 in zip(materials, models, v0_tuple):
         pool = transfer.rasterize_model(
             cfg, mat, partition.table, model,
@@ -124,19 +136,21 @@ def substep_impl(
         new_models = comm.migrate(new_models, materials)
         extra_mask = comm.halo_mass_mask(halo_slabs)
 
+    plans = [
+        part.plan_tiles(cfg, m.pos, m.active, m.tiles.block.shape[0])
+        for m in new_models
+    ]
     partition, next_pool = part.rebuild(
         cfg, next_pool, state.partition,
-        tuple(m.pos for m in new_models),
-        tuple(m.active for m in new_models),
+        tuple(p.block_keys for p in plans),
         extra_mask=extra_mask,
     )
     if comm is not None:
         next_pool = comm.add_halo(next_pool, partition, halo_slabs)
 
     new_models = [
-        m._replace(tiles=part.build_tiles(cfg, partition, m.pos, m.active,
-                                          m.tiles.pidx.shape[0]))
-        for m in new_models
+        part.apply_slot_permutation(m, part.finalize_tiles(cfg, partition, p), p)
+        for m, p in zip(new_models, plans)
     ]
 
     return SimState(
@@ -197,9 +211,16 @@ class MPMEngine:
         self._num_tiles = []
         for raw in model_positions:
             raw = np.asarray(raw, np.float32)
-            positions.append(jnp.asarray(raw.T))  # component-leading [3, P]
-            actives.append(jnp.ones((raw.shape[0],), jnp.bool_))
-            self._num_tiles.append(self._round_tiles(raw.shape[0]))
+            n = raw.shape[0]
+            nt = self._round_tiles(n)
+            s_cap = nt * self.cfg.particle_tile
+            pos = np.zeros((3, s_cap), np.float32)
+            pos[:, :n] = raw.T  # component-leading, slot-major
+            act = np.zeros((s_cap,), bool)
+            act[:n] = True
+            positions.append(jnp.asarray(pos))
+            actives.append(jnp.asarray(act))
+            self._num_tiles.append(nt)
 
         return init_impl(
             self.cfg, self.materials, tuple(self._num_tiles), self.tile_chunk,

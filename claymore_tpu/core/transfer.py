@@ -17,12 +17,13 @@ B-spline transfer is factored into *separable per-axis contractions*:
   particle axis is the MXU contraction dimension, so the shared-memory
   atomics disappear and the result is deterministic.
 
-Layout rule (the performance-critical decision): the PARTICLE axis is always
-the trailing (lane) axis — positions are [3, P], deformation gradients
-[9, P], per-axis spline weights [tiles, 8, tile].  TPU vector registers are
-(8 sublanes, 128 lanes); any array with a small trailing dim wastes up to
-42x of every register, which is why the naive [P, 3] formulation measures
-~10x slower.
+Performance-critical layout decisions:
+1. particle state is *slot-major*: stored directly in tile order, so the
+   loop reads/writes contiguous chunks — no per-particle gather/scatter at
+   all (those scatters measured ~40% of the step before this design).
+2. the particle axis is always the trailing (lane) axis: positions [3, S],
+   F [9, S], per-axis weights [chunk, 8, tile].  TPU vector registers are
+   (8 sublanes, 128 lanes); small trailing dims waste up to 42x per op.
 
 Tiles are processed in chunks under ``lax.scan`` with the next grid pool as
 carry, bounding intermediate memory exactly like the CUDA block loop does.
@@ -30,10 +31,11 @@ carry, bounding intermediate memory exactly like the CUDA block loop does.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from ..config import SimConfig
 from ..models.materials import Material
@@ -42,15 +44,18 @@ from . import partition as part
 
 _IOTA8 = jnp.arange(8, dtype=jnp.int32)
 
+_NB_OFFS_NP = _np.stack(
+    _np.meshgrid(*([_np.arange(2, dtype=_np.int32)] * 3), indexing="ij"), axis=0
+).reshape(3, 8)
+
 
 def _bspline_onehot(cfg: SimConfig, pos, origin):
     """Per-axis one-hot B-spline weight/moment vectors over the 8-cell arena
     axis (reference bspline_weight, utility_funcs.hpp:10-19).
 
-    pos:    [3, ct, tile] particle positions
-    origin: [3, ct, 1] arena origin cell of each tile
-    returns (w, m, in_range): w, m are length-3 tuples of [ct, 8, tile]
-    arrays; in_range is [ct, tile].
+    pos: [3, ct, tile]; origin: [3, ct, 1] arena origin cell per tile.
+    Returns (w, m, in_range): w, m are 3-tuples of [ct, 8, tile]; in_range is
+    [ct, tile].
     """
     dx = cfg.dx
     base = part.base_cell(cfg, pos)                       # [3, ct, tile]
@@ -80,33 +85,24 @@ def _bspline_onehot(cfg: SimConfig, pos, origin):
     return ws, ms, in_range
 
 
-import numpy as _np
-
-_NB_OFFS_NP = _np.stack(
-    _np.meshgrid(*([_np.arange(2, dtype=_np.int32)] * 3), indexing="ij"), axis=0
-).reshape(3, 8)
-
-
-def _neighbor_offsets():
-    return jnp.asarray(_NB_OFFS_NP)
+def neighbor_slots(cfg: SimConfig, table, bcoord):
+    """Pool slots of the 2^3 neighbor blocks of each tile: [T, 8]."""
+    nb = bcoord[:, :, None] + jnp.asarray(_NB_OFFS_NP)[:, None, :]
+    return part.lookup(cfg, table, nb)
 
 
-def _gather_arena(cfg: SimConfig, pool, table, bcoord):
-    """Fetch the 2^3 neighbor blocks of each tile's home block as a
-    [tiles, 4, 8, 8, 8] cell arena.  bcoord: [3, T].  Returns (arena, nb_slot
-    [T, 8])."""
+def _arena_from_slots(cfg: SimConfig, pool, nb_slot):
+    """[ct, 8] pool slots -> [ct, 4, 8, 8, 8] cell arena."""
     bs = cfg.block_size
-    nb = bcoord[:, :, None] + _neighbor_offsets()[:, None, :]   # [3, T, 8]
-    nb_slot = part.lookup(cfg, table, nb)                       # [T, 8]
-    blocks = pool[nb_slot]                                      # [T, 8, 4, bv]
+    blocks = pool[nb_slot]                                # [ct, 8, 4, bv]
     t = blocks.shape[0]
     arena = blocks.reshape(t, 2, 2, 2, 4, bs, bs, bs)
     arena = arena.transpose(0, 4, 1, 5, 2, 6, 3, 7)
-    return arena.reshape(t, 4, 2 * bs, 2 * bs, 2 * bs), nb_slot
+    return arena.reshape(t, 4, 2 * bs, 2 * bs, 2 * bs)
 
 
 def _scatter_layout(cfg: SimConfig, arena_out):
-    """[T, 8, 8, 8, 4] (x, y, z, c) cell arena -> [T, 8, 4, bv] block rows."""
+    """[ct, 8, 8, 8, 4] (x, y, z, c) cell arena -> [ct, 8, 4, bv] block rows."""
     bs = cfg.block_size
     t = arena_out.shape[0]
     a = arena_out.reshape(t, 2, bs, 2, bs, 2, bs, 4)
@@ -114,9 +110,11 @@ def _scatter_layout(cfg: SimConfig, arena_out):
     return a.reshape(t, 8, 4, cfg.block_volume)
 
 
-def _contract_x(w, varena):
-    """sum_x w[:, x, p] V[:, c, x, y, z] -> [ct, c, y, z, p]"""
-    return jnp.einsum("txp,tcxyz->tcyzp", w, varena)
+def _chunked(x, nchunks, tile_chunk, tile):
+    """[..., T(*tile)] slot/tile arrays -> scan xs with chunk axis leading."""
+    if x.ndim == 1:
+        return x.reshape(nchunks, -1)
+    return jnp.moveaxis(x.reshape(x.shape[:-1] + (nchunks, -1)), -2, 0)
 
 
 def g2p2g_model(
@@ -136,33 +134,30 @@ def g2p2g_model(
     accumulates (m, mx, my, mz) for the next step.
     """
     tm = model.tiles
-    num_tiles, tile = tm.pidx.shape
+    num_tiles = tm.block.shape[0]
+    tile = cfg.particle_tile
     assert num_tiles % tile_chunk == 0, (num_tiles, tile_chunk)
     nchunks = num_tiles // tile_chunk
     d_inv = jnp.asarray(cfg.d_inv, pool_v.dtype)
     mass = material.mass
 
-    pos_all = model.pos                                   # [3, P]
-    fields_all = model.fields
-    p_total = pos_all.shape[1]
+    nb_slot_all = neighbor_slots(cfg, table, tm.bcoord)   # [T, 8]
+    nb_slot_all = jnp.where(tm.tvalid[:, None], nb_slot_all, cfg.null_block)
 
     def chunk(carry, inp):
-        pidx, valid, bcoord, tvalid = inp                 # bcoord: [3, ct]... see resh
-        bcoord = bcoord_t(inp)
-        arena, nb_slot = _gather_arena(cfg, pool_v, table, bcoord)
-        nb_slot = jnp.where(tvalid[:, None], nb_slot, cfg.null_block)
-
-        ct = pidx.shape[0]
-        pos = pos_all[:, pidx]                            # [3, ct, tile]
-        fields = {k: v[..., pidx] for k, v in fields_all.items()}
+        pos, fields, valid, bcoord, nb_slot = inp
+        ct = tile_chunk
+        pos = pos.reshape(3, ct, tile)
+        valid = valid.reshape(ct, tile)
+        arena = _arena_from_slots(cfg, carry[1], nb_slot)
 
         origin = (bcoord * cfg.block_size)[:, :, None]    # [3, ct, 1]
         w, mvec, _ = _bspline_onehot(cfg, pos, origin)
-        (wx, wy, wz), (mx, my, mz) = w, mvec              # [ct, 8, tile] each
+        (wx, wy, wz), (mx, my, mz) = w, mvec              # [ct, 8, tile]
 
         vgrid = arena[:, 1:4]                             # [ct, 3, 8, 8, 8]
-        gx = _contract_x(wx, vgrid)                       # [ct, 3, 8, 8, tile]
-        gmx = _contract_x(mx, vgrid)
+        gx = jnp.einsum("txp,tcxyz->tcyzp", wx, vgrid)
+        gmx = jnp.einsum("txp,tcxyz->tcyzp", mx, vgrid)
         wy_b = wy[:, None, :, None, :]
         my_b = my[:, None, :, None, :]
         gxy = jnp.sum(gx * wy_b, axis=2)                  # [ct, 3, 8, tile]
@@ -171,24 +166,18 @@ def g2p2g_model(
         wz_b = wz[:, None, :, :]
         mz_b = mz[:, None, :, :]
         vel = jnp.sum(gxy * wz_b, axis=2)                 # [ct, 3, tile]
-        col2 = jnp.sum(gxy * mz_b, axis=2)                # A[:, :, 2]
+        col2 = jnp.sum(gxy * mz_b, axis=2)
         col1 = jnp.sum(gxmy * wz_b, axis=2)
         col0 = jnp.sum(gmxy * wz_b, axis=2)
         cols = (col0, col1, col2)
-        # A_rc components, each [ct, tile]
         a_soa = tuple(cols[c][:, r] for r in range(3) for c in range(3))
 
         # --- particle update (material static dispatch, SoA math) ---
-        flat = lambda x: x.reshape((-1,) + x.shape[2:]) if x.ndim > 2 else x.reshape(-1)
-        fields_flat = {
-            k: v.reshape(v.shape[:-2] + (ct * tile,)) for k, v in fields.items()
-        }
+        # chunk field slices are already flat over the chunk's slots:
+        # F [9, ct*tile], scalars [ct*tile]
         new_fields_flat, contrib = material.update(
-            d_inv, dt, tuple(c.reshape(-1) for c in a_soa), fields_flat
+            d_inv, dt, tuple(c.reshape(-1) for c in a_soa), fields
         )
-        new_fields = {
-            k: v.reshape(v.shape[:-1] + (ct, tile)) for k, v in new_fields_flat.items()
-        }
 
         new_pos = pos + vel.transpose(1, 0, 2) * dt       # [3, ct, tile]
 
@@ -205,7 +194,6 @@ def g2p2g_model(
 
         okf = ok[:, None, :].astype(pos.dtype)            # [ct, 1, tile]
         velm = vel * mass
-        # channel stacks [ct, 4, tile]; term k uses moment vector on axis k
         s0 = jnp.concatenate(
             [jnp.full((ct, 1, tile), mass, pos.dtype), velm], axis=1
         ) * okf
@@ -231,45 +219,37 @@ def g2p2g_model(
         arena_out = arena_out.reshape(ct, 8, 8, 8, 4)
 
         blocks = _scatter_layout(cfg, arena_out)
-        carry = carry.at[nb_slot.reshape(-1)].add(
+        acc = carry[0].at[nb_slot.reshape(-1)].add(
             blocks.reshape(ct * 8, 4, cfg.block_volume)
         )
-        return carry, (new_pos, new_fields, ok)
+        return (acc, carry[1]), (new_pos.reshape(3, -1), new_fields_flat,
+                                 ok.reshape(-1))
 
-    def bcoord_t(inp):
-        return inp[2]
-
-    resh = lambda x: x.reshape((nchunks, tile_chunk) + x.shape[1:])
-    # bcoord is [3, T]: chunk along the tile axis, keeping components leading
-    bcoord_chunks = tm.bcoord.reshape(3, nchunks, tile_chunk).transpose(1, 0, 2)
-    next_pool, (new_pos, new_fields, ok) = jax.lax.scan(
-        chunk,
-        next_pool,
-        (resh(tm.pidx), resh(tm.valid), bcoord_chunks, resh(tm.tvalid)),
+    xs = (
+        _chunked(model.pos, nchunks, tile_chunk, tile),
+        {k: _chunked(v, nchunks, tile_chunk, tile) for k, v in model.fields.items()},
+        _chunked(model.active, nchunks, tile_chunk, tile),
+        jnp.moveaxis(tm.bcoord.reshape(3, nchunks, tile_chunk), 1, 0),
+        nb_slot_all.reshape(nchunks, tile_chunk, 8),
     )
-    # drop junk accumulated in the null block
+    (next_pool, _), (new_pos, new_fields, ok) = jax.lax.scan(
+        chunk, (next_pool, pool_v), xs
+    )
     next_pool = next_pool.at[cfg.null_block].set(0.0)
 
-    # --- write particle outputs back through the tile indirection ---
-    flat_idx = jnp.where(ok, resh(tm.pidx), p_total).reshape(-1)
-    new_pos_flat = new_pos.transpose(1, 0, 2, 3).reshape(3, -1)
-    pos_out = pos_all.at[:, flat_idx].set(new_pos_flat, mode="drop")
+    # stitch chunk outputs back into slot-major arrays (pure reshapes/moves)
+    pos_out = jnp.moveaxis(new_pos, 0, 1).reshape(3, -1)
     fields_out = {}
-    for k, v in fields_all.items():
-        upd = new_fields[k]
-        if upd.ndim == 4:                                  # [nc, 9, ct, tile]
-            upd = upd.transpose(1, 0, 2, 3).reshape(v.shape[0], -1)
-            fields_out[k] = v.at[:, flat_idx].set(upd, mode="drop")
-        else:                                              # [nc, ct, tile]
-            fields_out[k] = v.at[flat_idx].set(upd.reshape(-1), mode="drop")
+    for k, v in new_fields.items():
+        if v.ndim == 3:                                   # [nc, 9, cs]
+            fields_out[k] = jnp.moveaxis(v, 0, 1).reshape(v.shape[1], -1)
+        else:                                             # [nc, cs]
+            fields_out[k] = v.reshape(-1)
+    active_out = ok.reshape(-1)
+    pid_out = jnp.where(active_out, model.pid, model.pos.shape[1])
 
-    covered = jnp.zeros((p_total + 1,), jnp.bool_).at[flat_idx].set(
-        True, mode="drop"
-    )[:p_total]
-    active_out = model.active & covered
-
-    new_model = ParticleModel(
-        pos=pos_out, fields=fields_out, active=active_out, tiles=tm
+    new_model = model._replace(
+        pos=pos_out, fields=fields_out, active=active_out, pid=pid_out
     )
     return new_model, next_pool
 
@@ -286,18 +266,19 @@ def rasterize_model(
     """Initial P2G of mass and momentum with a uniform initial velocity
     (reference rasterize, mgmpm_kernels.cuh:154-219)."""
     tm = model.tiles
-    num_tiles, tile = tm.pidx.shape
+    num_tiles = tm.block.shape[0]
+    tile = cfg.particle_tile
     nchunks = num_tiles // tile_chunk
     mass = material.mass
-    pos_all = model.pos
+
+    nb_slot_all = neighbor_slots(cfg, table, tm.bcoord)
+    nb_slot_all = jnp.where(tm.tvalid[:, None], nb_slot_all, cfg.null_block)
 
     def chunk(carry, inp):
-        pidx, valid, bcoord, tvalid = inp
-        ct = pidx.shape[0]
-        arena_unused, nb_slot = _gather_arena(cfg, carry, table, bcoord)
-        del arena_unused
-        nb_slot = jnp.where(tvalid[:, None], nb_slot, cfg.null_block)
-        pos = pos_all[:, pidx]
+        pos, valid, bcoord, nb_slot = inp
+        ct = tile_chunk
+        pos = pos.reshape(3, ct, tile)
+        valid = valid.reshape(ct, tile)
         origin = (bcoord * cfg.block_size)[:, :, None]
         w, _, in_range = _bspline_onehot(cfg, pos, origin)
         wx, wy, wz = w
@@ -306,7 +287,7 @@ def rasterize_model(
             [jnp.full((ct, 1, tile), mass, pos.dtype),
              jnp.broadcast_to((mass * v0)[None, :, None], (ct, 3, tile))],
             axis=1,
-        ) * okf                                            # [ct, 4, tile]
+        ) * okf
         e = (wx[:, :, None, :] * wy[:, None, :, :]).reshape(ct, 64, tile)
         r = (wz[:, :, None, :] * sv[:, None, :, :]).reshape(ct, 32, tile)
         arena_out = jnp.einsum("tep,tfp->tef", e, r).reshape(ct, 8, 8, 8, 4)
@@ -316,10 +297,11 @@ def rasterize_model(
         )
         return carry, None
 
-    resh = lambda x: x.reshape((nchunks, tile_chunk) + x.shape[1:])
-    bcoord_chunks = tm.bcoord.reshape(3, nchunks, tile_chunk).transpose(1, 0, 2)
-    pool, _ = jax.lax.scan(
-        chunk, pool,
-        (resh(tm.pidx), resh(tm.valid), bcoord_chunks, resh(tm.tvalid)),
+    xs = (
+        _chunked(model.pos, nchunks, tile_chunk, tile),
+        _chunked(model.active, nchunks, tile_chunk, tile),
+        jnp.moveaxis(tm.bcoord.reshape(3, nchunks, tile_chunk), 1, 0),
+        nb_slot_all.reshape(nchunks, tile_chunk, 8),
     )
+    pool, _ = jax.lax.scan(chunk, pool, xs)
     return pool.at[cfg.null_block].set(0.0)

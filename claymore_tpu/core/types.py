@@ -12,10 +12,15 @@ the NamedTuples here:
 * reference ``block_partition_`` (Projects/GMPM/hash_table.cuh:71-135) -> ``Partition``:
   a dense flat index table (the reference already backs its "hash table"
   with a dense 64^3 table) plus packed active keys.
-* reference particle bins + buckets (Projects/GMPM/particle_buffer.cuh)  -> flat SoA
-  field arrays plus a ``TileMap``: a static-shaped [tiles, tile] particle
-  index indirection where every tile is bound to one home block — the
-  bucket/bin structure re-expressed as gather indices.
+* reference particle bins + buckets (Projects/GMPM/particle_buffer.cuh) ->
+  *slot-major storage*: particle state lives directly in tile order
+  (``S = num_tiles * tile`` slots, each tile bound to one home block), so
+  the hot loop reads and writes contiguously and the per-substep re-bucketing
+  (reference add_advection scatter) is ONE permutation gather.
+
+Layout rule: per-particle arrays are component-leading ([3, S] positions,
+[9, S] deformation gradients) so the particle axis lands in the TPU lane
+dimension (see transfer.py).
 """
 
 from __future__ import annotations
@@ -28,41 +33,38 @@ import jax.numpy as jnp
 class Partition(NamedTuple):
     """Sparse block partition (reference hash_table.cuh:75-135)."""
 
-    table: jnp.ndarray     # i32[grid_size^3 + 1]; maps flat block key -> pool slot
-    #                        (null_block for inactive; last entry is the OOB sentinel)
-    keys: jnp.ndarray      # i32[max_active_blocks]; flat block key per slot
-    #                        (grid_size^3 for unused slots)
-    count: jnp.ndarray     # i32[]; number of active blocks
-    overflow: jnp.ndarray  # i32[]; blocks that did not fit (diagnostic)
+    table: jnp.ndarray     # i32[grid_size^3 + 1]; flat block key -> pool slot
+    keys: jnp.ndarray      # i32[max_active_blocks]; flat key per slot
+    count: jnp.ndarray     # i32[1]; number of active blocks
+    overflow: jnp.ndarray  # i32[1]; blocks that did not fit (diagnostic)
 
 
 class TileMap(NamedTuple):
-    """Static-shaped particle bucket indirection for one model."""
+    """Per-tile home-block binding for slot-major particle storage."""
 
-    pidx: jnp.ndarray     # i32[T, tile]; particle index (0 for padding lanes)
-    valid: jnp.ndarray    # bool[T, tile]
-    block: jnp.ndarray    # i32[T]; home-block pool slot (null_block for unused)
-    bcoord: jnp.ndarray   # i32[T, 3]; home-block coordinates
+    block: jnp.ndarray    # i32[T]; home-block pool slot (null_block if unused)
+    bcoord: jnp.ndarray   # i32[3, T]; home-block coordinates
     tvalid: jnp.ndarray   # bool[T]; tile holds at least one particle
-    dropped: jnp.ndarray  # i32[]; particles that did not fit (diagnostic)
+    dropped: jnp.ndarray  # i32[1]; particles that did not fit (diagnostic)
 
 
 class ParticleModel(NamedTuple):
-    """One material's particle set (SoA; reference ParticleBuffer)."""
+    """One material's particle set in slot-major SoA storage."""
 
-    pos: jnp.ndarray              # f32[P, 3]
-    fields: Dict[str, jnp.ndarray]
-    active: jnp.ndarray           # bool[P]; false for padding / lost particles
+    pos: jnp.ndarray              # f32[3, S]
+    fields: Dict[str, jnp.ndarray]  # e.g. F: f32[9, S], J: f32[S]
+    active: jnp.ndarray           # bool[S]; slot occupied
+    pid: jnp.ndarray              # i32[S]; stable particle id (S = empty)
     tiles: TileMap
 
 
 class SimState(NamedTuple):
     """Full double-buffer-free simulation state (functional rollid)."""
 
-    grid: jnp.ndarray             # f32[max_blocks+1, 4, block_volume]; (m, mx, my, mz)
+    grid: jnp.ndarray             # f32[max_blocks+1, 4, block_volume]
     partition: Partition
     models: Tuple[ParticleModel, ...]
-    dt: jnp.ndarray               # f32[]; current step size
-    max_vel: jnp.ndarray          # f32[]; |v|_max from the last grid update
-    t: jnp.ndarray                # f32[]; simulated time
-    step: jnp.ndarray             # i32[]; substep counter
+    dt: jnp.ndarray               # f32[]
+    max_vel: jnp.ndarray          # f32[]
+    t: jnp.ndarray                # f32[]
+    step: jnp.ndarray             # i32[]

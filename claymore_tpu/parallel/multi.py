@@ -150,6 +150,7 @@ class HaloComm:
                 payload = {
                     "pos": model.pos[:, gidx],
                     "valid": valid,
+                    "pid": model.pid[gidx],
                     **{f: v[..., gidx] for f, v in model.fields.items()},
                 }
                 payloads[name] = jax.tree.map(
@@ -161,17 +162,19 @@ class HaloComm:
                 )[:p]
                 active = active & ~sent
 
-            pos, fields = model.pos, dict(model.fields)
+            pos, fields, pid = model.pos, dict(model.fields), model.pid
             for name in ("left", "right"):
                 rv = payloads[name]
                 (free,) = jnp.nonzero(~active, size=k, fill_value=p)
                 ok = rv["valid"] & (free < p)
                 tgt = jnp.where(ok, free, p)
                 pos = pos.at[:, tgt].set(rv["pos"], mode="drop")
+                pid = pid.at[tgt].set(rv["pid"], mode="drop")
                 for f in fields:
                     fields[f] = fields[f].at[..., tgt].set(rv[f], mode="drop")
                 active = active.at[tgt].set(True, mode="drop")
-            out.append(model._replace(pos=pos, fields=fields, active=active))
+            out.append(model._replace(pos=pos, fields=fields, active=active,
+                                      pid=pid))
         return out
 
 
@@ -224,17 +227,17 @@ class MultiChipEngine:
             hbx = (base[:, 0] - 1) >> cfg.block_bits
             shard = np.clip(hbx // slab, 0, nd - 1)
             counts = np.bincount(shard, minlength=nd)
-            pcap = int(np.ceil(counts.max() * self.capacity_factor))
-            pcap = max(pcap, 8)
-            pos_sh = np.zeros((3, nd * pcap), np.float32)
-            act_sh = np.zeros((nd * pcap,), bool)
-            for d in range(nd):
-                sel = raw[shard == d]
-                pos_sh[:, d * pcap : d * pcap + len(sel)] = sel.T
-                act_sh[d * pcap : d * pcap + len(sel)] = True
-            self._pcaps.append(pcap)
+            pcap = max(int(np.ceil(counts.max() * self.capacity_factor)), 8)
             nt = cfg.tiles_for(pcap)
             nt = -(-nt // self.tile_chunk) * self.tile_chunk
+            s_cap = nt * cfg.particle_tile  # slot capacity per shard
+            pos_sh = np.zeros((3, nd * s_cap), np.float32)
+            act_sh = np.zeros((nd * s_cap,), bool)
+            for d in range(nd):
+                sel = raw[shard == d]
+                pos_sh[:, d * s_cap : d * s_cap + len(sel)] = sel.T
+                act_sh[d * s_cap : d * s_cap + len(sel)] = True
+            self._pcaps.append(s_cap)
             self._num_tiles.append(nt)
             pos_stacked.append(jnp.asarray(pos_sh))
             act_stacked.append(jnp.asarray(act_sh))
@@ -270,8 +273,8 @@ class MultiChipEngine:
         ax = self.axis
         part_spec = part.Partition(table=P(ax), keys=P(ax), count=P(ax),
                                    overflow=P(ax))
-        tile_spec = part.TileMap(pidx=P(ax), valid=P(ax), block=P(ax),
-                                 bcoord=P(None, ax), tvalid=P(ax), dropped=P(ax))
+        tile_spec = part.TileMap(block=P(ax), bcoord=P(None, ax),
+                                 tvalid=P(ax), dropped=P(ax))
         model_specs = tuple(
             ParticleModel(
                 pos=P(None, ax),
@@ -280,6 +283,7 @@ class MultiChipEngine:
                     for k, shp in mat.field_specs
                 },
                 active=P(ax),
+                pid=P(ax),
                 tiles=tile_spec,
             )
             for mat in self.materials

@@ -43,14 +43,20 @@ def check_partition(cfg: SimConfig, partition: Partition) -> None:
 
 
 def check_tiles(cfg: SimConfig, state: SimState, model_idx: int = 0) -> None:
-    """Every active particle appears in exactly one tile lane; tile home
-    blocks match the partition."""
+    """Slot-major invariants: no duplicate particle ids, no dropped
+    particles, and every active slot's home block matches its tile."""
+    from ..core.partition import home_block, lookup
+    import jax.numpy as jnp
+
     m = state.models[model_idx]
     tm = m.tiles
-    pidx = np.asarray(tm.pidx)
-    valid = np.asarray(tm.valid)
     active = np.asarray(m.active)
-    seen = pidx[valid]
-    assert len(seen) == len(set(seen.tolist())), "duplicate particle in tiles"
+    pid = np.asarray(m.pid)[active]
+    assert len(pid) == len(set(pid.tolist())), "duplicate particle in slots"
     assert int(np.asarray(tm.dropped)[0]) == 0
-    assert set(seen.tolist()) == set(np.nonzero(active)[0].tolist())
+    # slot -> tile home-block consistency
+    slot_of = np.asarray(
+        lookup(cfg, state.partition.table, home_block(cfg, m.pos))
+    )
+    tile_of_slot = np.repeat(np.asarray(tm.block), cfg.particle_tile)
+    assert np.all(slot_of[active] == tile_of_slot[active])

@@ -11,6 +11,22 @@ from claymore_tpu.utils.debug import check_partition, check_tiles, pool_to_dense
 from tests.reference_dense import DenseMPM
 
 
+def by_pid(state, field):
+    """Return the engine's slot-major array reordered to original particle
+    ids: [n_active, ...] float64."""
+    m = state.models[0]
+    act = np.asarray(m.active)
+    pid = np.asarray(m.pid)[act]
+    if field is None:
+        vals = np.asarray(m.pos, np.float64).T[act]
+    else:
+        v = np.asarray(m.fields[field], np.float64)
+        vals = v.T[act] if v.ndim == 2 else v[act]
+    out = np.zeros((pid.max() + 1,) + vals.shape[1:], np.float64)
+    out[pid] = vals
+    return out, act.sum()
+
+
 def small_setup(material, n_lo=0.45, n_hi=0.6, v0=(0.2, -0.3, 0.1)):
     cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
     eng = cmt.MPMEngine(cfg, [material], tile_chunk=4)
@@ -38,11 +54,11 @@ def test_substep_matches_dense_reference(mat_name):
 
     # run two engine substeps against the reference
     rpos = pos.astype(np.float64)
-    rfields = {
-        k: np.asarray(v, np.float64) for k, v in state.models[0].fields.items()
-    }
-    if "F" in rfields:
-        rfields["F"] = rfields["F"].T.reshape(-1, 3, 3)  # [9, n] -> [n, 3, 3]
+    n = pos.shape[0]
+    rfields = {}
+    for k, v in state.models[0].fields.items():
+        ev, _ = by_pid(state, k)
+        rfields[k] = ev if k != "F" else ev.reshape(-1, 3, 3)
     frame_end = jnp.float32(1.0)
     for _ in range(2):
         dt = float(state.dt)
@@ -55,16 +71,16 @@ def test_substep_matches_dense_reference(mat_name):
         state = eng.substep(state, frame_end)
         assert abs(float(state.dt) - next_dt) < 1e-9 * max(1.0, next_dt)
 
-        # particle positions match
-        epos = np.asarray(state.models[0].pos, np.float64).T
+        # particle positions match (slot storage reordered by particle id)
+        epos, act_n = by_pid(state, None)
+        assert act_n == n
         assert np.max(np.abs(epos - rpos)) < 5e-6, np.max(np.abs(epos - rpos))
         # fields match
         for k in rfields:
-            ev = np.asarray(state.models[0].fields[k], np.float64)
+            ev, _ = by_pid(state, k)
             if k == "F":
-                ev = ev.T.reshape(-1, 3, 3)  # [9, n] -> [n, 3, 3]
-            rv = rfields[k]
-            assert np.max(np.abs(ev - rv)) < 5e-4, (k,)
+                ev = ev.reshape(-1, 3, 3)
+            assert np.max(np.abs(ev - rfields[k])) < 5e-4, (k,)
         # grids match
         em, emom = pool_to_dense(cfg, state)
         scale = max(1.0, ref.grid_m.max())
@@ -111,18 +127,6 @@ def test_partition_and_tile_invariants():
         state = eng.substep(state, frame_end)
     check_partition(cfg, state.partition)
     check_tiles(cfg, state)
-    # home-block binding: every particle's stencil lies inside its tile arena
-    from claymore_tpu.core.partition import home_block, lookup
-    hb = np.asarray(home_block(cfg, state.models[0].pos))  # [3, P]
-    slot = np.asarray(lookup(cfg, state.partition.table, jnp.asarray(hb)))
-    tm = state.models[0].tiles
-    tslot = np.asarray(tm.block)
-    pidx = np.asarray(tm.pidx)
-    valid = np.asarray(tm.valid)
-    for t in range(pidx.shape[0]):
-        for l in range(pidx.shape[1]):
-            if valid[t, l]:
-                assert slot[pidx[t, l]] == tslot[t]
 
 
 def test_sand_nacc_run_stable():
