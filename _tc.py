@@ -1,0 +1,23 @@
+import time, sys
+import numpy as np
+import jax, jax.numpy as jnp
+import claymore_tpu as cmt
+from claymore_tpu.io.sampler import sample_uniform_box_world
+
+quick = "--quick" in sys.argv
+span = 0.12 if quick else 0.2
+for tc in (32, 64, 128):
+    cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=8192, default_dt=1e-4)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=5e3, nu=0.4)
+    eng = cmt.MPMEngine(cfg, [mat], tile_chunk=tc)
+    lo,hi = 0.4-span/2, 0.4+span/2
+    pos = sample_uniform_box_world(cfg.dx, [lo,0.5,lo],[hi,0.5+span,hi], cfg.ppc)
+    st = eng.init_state([pos], [(0.,-0.5,0.)])
+    fe = jnp.float32(1e9)
+    st = eng.substep(st, fe); jax.block_until_ready(st)
+    n = 5
+    t0=time.perf_counter()
+    for _ in range(n): st = eng.substep(st, fe)
+    jax.block_until_ready(st)
+    dt = (time.perf_counter()-t0)/n
+    print(f"tile_chunk={tc}: {dt*1e3:.2f} ms/step, {pos.shape[0]*1e-6/dt:.2f} Mpps")

@@ -52,17 +52,8 @@ def init_impl(
     (slot capacity); padding lanes are marked inactive in ``active_tuple``.
     """
     pool = jnp.zeros((cfg.max_active_blocks + 1, 4, cfg.block_volume), jnp.float32)
-    plans = [
-        part.plan_tiles(cfg, pos, active, nt)
-        for pos, active, nt in zip(pos_tuple, active_tuple, tile_counts)
-    ]
-    partition, pool = part.rebuild(
-        cfg, pool, empty_partition(cfg), tuple(p.block_keys for p in plans)
-    )
-    models = []
-    for mat, pos, active, nt, plan in zip(
-        materials, pos_tuple, active_tuple, tile_counts, plans
-    ):
+    permuted, tile_keys, droppeds = [], [], []
+    for mat, pos, active, nt in zip(materials, pos_tuple, active_tuple, tile_counts):
         s_cap = pos.shape[1]
         assert s_cap == nt * cfg.particle_tile, (s_cap, nt)
         raw = ParticleModel(
@@ -72,8 +63,18 @@ def init_impl(
             pid=jnp.where(active, jnp.arange(s_cap, dtype=jnp.int32), s_cap),
             tiles=None,
         )
-        tm = part.finalize_tiles(cfg, partition, plan)
-        models.append(part.apply_slot_permutation(raw, tm, plan))
+        plan = part.plan_tiles(cfg, pos, active, nt)
+        pm, key_perm = part.apply_slot_permutation(raw, plan)
+        permuted.append(pm)
+        tile_keys.append(part.tile_keys_from_slots(cfg, key_perm, plan.valid))
+        droppeds.append(plan.dropped)
+    partition, pool = part.rebuild(
+        cfg, pool, empty_partition(cfg), tuple(tile_keys)
+    )
+    models = [
+        pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
+        for pm, tk, dr in zip(permuted, tile_keys, droppeds)
+    ]
     for mat, model, v0 in zip(materials, models, v0_tuple):
         pool = transfer.rasterize_model(
             cfg, mat, partition.table, model,
@@ -136,21 +137,23 @@ def substep_impl(
         new_models = comm.migrate(new_models, materials)
         extra_mask = comm.halo_mass_mask(halo_slabs)
 
-    plans = [
-        part.plan_tiles(cfg, m.pos, m.active, m.tiles.block.shape[0])
-        for m in new_models
-    ]
+    permuted, tile_keys, droppeds = [], [], []
+    for m in new_models:
+        plan = part.plan_tiles(cfg, m.pos, m.active, m.tiles.block.shape[0])
+        pm, key_perm = part.apply_slot_permutation(m, plan)
+        permuted.append(pm)
+        tile_keys.append(part.tile_keys_from_slots(cfg, key_perm, plan.valid))
+        droppeds.append(plan.dropped)
+
     partition, next_pool = part.rebuild(
-        cfg, next_pool, state.partition,
-        tuple(p.block_keys for p in plans),
-        extra_mask=extra_mask,
+        cfg, next_pool, state.partition, tuple(tile_keys), extra_mask=extra_mask,
     )
     if comm is not None:
         next_pool = comm.add_halo(next_pool, partition, halo_slabs)
 
     new_models = [
-        part.apply_slot_permutation(m, part.finalize_tiles(cfg, partition, p), p)
-        for m, p in zip(new_models, plans)
+        pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
+        for pm, tk, dr in zip(permuted, tile_keys, droppeds)
     ]
 
     return SimState(

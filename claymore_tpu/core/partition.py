@@ -80,9 +80,7 @@ class TilePlan(NamedTuple):
 
     src: jnp.ndarray        # i32[S]; old slot feeding each new slot (S = empty)
     valid: jnp.ndarray      # bool[S]
-    bcoord: jnp.ndarray     # i32[3, T]; home-block coords per tile
-    tvalid: jnp.ndarray     # bool[T]
-    block_keys: jnp.ndarray  # i32[T]; unique active block keys (G^3 = unused)
+    key: jnp.ndarray        # i32[S]; home-block flat key per OLD slot
     dropped: jnp.ndarray    # i32[1]
 
 
@@ -93,8 +91,9 @@ def plan_tiles(cfg: SimConfig, pos: jnp.ndarray, active: jnp.ndarray,
     Replaces the reference's advection-bucket scatter + bin-offset scan
     (build_particle_cell_buckets / cell_bucket_to_block / compute_bin_capacity,
     mgmpm_kernels.cuh:37-94).  One stable key sort; ranks and padded slots via
-    segment scans (no per-particle gathers); needs no partition table, so the
-    partition rebuild can consume this plan's block list.
+    segment scans (no per-particle gathers); needs no partition table.  The
+    per-tile block binding falls out of the permuted key channel (every tile
+    is block-pure, so its first slot's key identifies its home block).
     """
     s_cap = pos.shape[1]
     tile = cfg.particle_tile
@@ -110,11 +109,8 @@ def plan_tiles(cfg: SimConfig, pos: jnp.ndarray, active: jnp.ndarray,
     prev_key = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_key[:-1]])
     boundary = (sorted_key != prev_key) & act_s
 
-    # segment start (broadcast) and rank within segment
+    # padded slot = dense index + cumulative padding inserted at boundaries
     seg_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
-    rank = iota - seg_start
-
-    # padded slot: dense index + cumulative padding inserted at boundaries
     prev_seg_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), seg_start[:-1]]
     )
@@ -128,47 +124,19 @@ def plan_tiles(cfg: SimConfig, pos: jnp.ndarray, active: jnp.ndarray,
     src = src.at[new_slot].set(order, mode="drop")
     valid = src < s_cap
 
-    # block-level tile info from segment boundaries
-    (bpos,) = jnp.nonzero(boundary, size=num_tiles, fill_value=s_cap)
-    has_block = bpos < s_cap
-    bclip = jnp.minimum(bpos, s_cap - 1)
-    ukey = jnp.where(has_block, sorted_key[bclip], n3)
-    ustart = jnp.where(has_block, seg_start[bclip], 0)
-    n_active = jnp.sum(act_s, dtype=jnp.int32)
-    unext = jnp.concatenate([ustart[1:], jnp.full((1,), 0, jnp.int32)])
-    is_last = has_block & ~jnp.concatenate([has_block[1:], jnp.zeros((1,), bool)])
-    uend = jnp.where(is_last, n_active, unext)
-    ucount = jnp.where(has_block, uend - ustart, 0)
-
-    tiles_per_block = -(-ucount // tile)
-    cum_tiles = jnp.cumsum(tiles_per_block)
-    t_idx = jnp.arange(num_tiles)
-    owner = jnp.searchsorted(cum_tiles, t_idx, side="right").astype(jnp.int32)
-    tvalid = t_idx < cum_tiles[-1]
-    owner = jnp.minimum(owner, num_tiles - 1)
-    okey = jnp.where(tvalid, ukey[owner], n3)
-    bcoord = unflatten_key(cfg, jnp.minimum(okey, n3 - 1))
-    bcoord = jnp.where(tvalid[None, :], bcoord, 0)
-
-    return TilePlan(src=src, valid=valid, bcoord=bcoord, tvalid=tvalid,
-                    block_keys=ukey, dropped=dropped)
+    return TilePlan(src=src, valid=valid, key=key, dropped=dropped)
 
 
-def finalize_tiles(cfg: SimConfig, partition: Partition, plan: TilePlan) -> TileMap:
-    """Bind the planned tiles to pool slots of the new partition."""
-    block = lookup(cfg, partition.table, plan.bcoord)
-    block = jnp.where(plan.tvalid, block, cfg.null_block)
-    return TileMap(block=block, bcoord=plan.bcoord, tvalid=plan.tvalid,
-                   dropped=plan.dropped)
-
-
-def apply_slot_permutation(model, tm: TileMap, plan: TilePlan):
+def apply_slot_permutation(model, plan: TilePlan):
     """Move a ParticleModel into the new slot layout (reference
-    update_buckets, mgmpm_kernels.cuh:980-1000).
+    update_buckets, mgmpm_kernels.cuh:980-1000) and derive per-tile block
+    keys.
 
-    All state is packed into ONE [S, C] matrix and permuted with a single
-    row gather — per-array flat gathers hit the TPU scalar path and are an
-    order of magnitude slower.
+    All state (plus the home-block key channel) is packed into ONE [S, C]
+    matrix and permuted with a single row gather — per-array flat gathers hit
+    the TPU scalar path and are an order of magnitude slower.
+
+    Returns (permuted model WITHOUT tiles attached, tile_keys i32[T]).
     """
     s_cap = model.pos.shape[1]
     gidx = jnp.minimum(plan.src, s_cap - 1)
@@ -184,6 +152,8 @@ def apply_slot_permutation(model, tm: TileMap, plan: TilePlan):
             widths.append((k, v.shape[0]))
     comps.append(jax.lax.bitcast_convert_type(model.pid, jnp.float32)[None, :])
     widths.append(("pid", 1))
+    comps.append(jax.lax.bitcast_convert_type(plan.key, jnp.float32)[None, :])
+    widths.append(("key", 1))
 
     packed = jnp.concatenate(comps, axis=0).T          # [S, C]
     rows = packed[gidx]                                # single row gather
@@ -202,16 +172,35 @@ def apply_slot_permutation(model, tm: TileMap, plan: TilePlan):
         fields[k] = jnp.where(vmask if val.ndim == 1 else vmask[None, :], val, 0.0)
     pid = jax.lax.bitcast_convert_type(parts["pid"][0], jnp.int32)
     pid = jnp.where(vmask, pid, s_cap)
-    return model._replace(pos=pos, fields=fields, active=vmask, pid=pid,
-                          tiles=tm)
+
+    key_perm = jax.lax.bitcast_convert_type(parts["key"][0], jnp.int32)
+    return (
+        model._replace(pos=pos, fields=fields, active=vmask, pid=pid),
+        key_perm,
+    )
 
 
-# legacy-compatible helper used by tests and init: plan + finalize + apply
-def build_tiles(cfg: SimConfig, partition: Partition, pos: jnp.ndarray,
-                active: jnp.ndarray, num_tiles: int):
-    plan = plan_tiles(cfg, pos, active, num_tiles)
-    tm = finalize_tiles(cfg, partition, plan)
-    return tm, plan
+def tile_keys_from_slots(cfg: SimConfig, key_perm: jnp.ndarray,
+                         valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-tile home-block key = key of the tile's first slot (tiles are
+    block-pure by construction)."""
+    n3 = cfg.grid_size ** 3
+    tile = cfg.particle_tile
+    starts_key = key_perm[:: tile]
+    starts_valid = valid[:: tile]
+    return jnp.where(starts_valid, starts_key, n3)
+
+
+def finalize_tiles(cfg: SimConfig, partition: Partition, tile_keys: jnp.ndarray,
+                   dropped: jnp.ndarray) -> TileMap:
+    """Bind tiles to pool slots / coordinates of the new partition."""
+    n3 = cfg.grid_size ** 3
+    tvalid = tile_keys < n3
+    bcoord = unflatten_key(cfg, jnp.minimum(tile_keys, n3 - 1))
+    bcoord = jnp.where(tvalid[None, :], bcoord, 0)
+    block = jnp.where(tvalid, partition.table[jnp.minimum(tile_keys, n3)],
+                      cfg.null_block)
+    return TileMap(block=block, bcoord=bcoord, tvalid=tvalid, dropped=dropped)
 
 
 # --------------------------------------------------------------------------
