@@ -1,0 +1,122 @@
+"""IO layer tests: bgeo round trip, sdf round trip + sampling, scene JSON
+end-to-end, async writer (reference has no tests for its IO layer;
+SURVEY.md section 4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from claymore_tpu.io import bgeo, sdf as sdf_io, async_io
+from claymore_tpu.io.scene import load_scene
+
+
+def test_bgeo_roundtrip(tmp_path):
+    n = 1000
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    attrs = {
+        "J": rng.uniform(0.5, 1.5, n).astype(np.float32),
+        "v": rng.normal(size=(n, 3)).astype(np.float32),
+        "id": np.arange(n, dtype=np.int32),
+    }
+    path = str(tmp_path / "cloud.bgeo")
+    bgeo.write_bgeo(path, pos, attrs)
+    rpos, rattrs = bgeo.read_bgeo(path)
+    assert np.array_equal(rpos, pos)
+    assert np.array_equal(rattrs["J"], attrs["J"])
+    assert np.array_equal(rattrs["v"], attrs["v"])
+    assert np.array_equal(rattrs["id"], attrs["id"])
+
+
+def test_bgeo_header_bytes(tmp_path):
+    path = str(tmp_path / "h.bgeo")
+    bgeo.write_bgeo(path, np.zeros((2, 3), np.float32))
+    data = open(path, "rb").read()
+    assert data[:5] == b"BgeoV"
+    assert data[-2:] == b"\x00\xff"
+
+
+def test_sdf_roundtrip_and_sampling(tmp_path):
+    n = 24
+    dx = 1.0 / n
+    grid = (np.arange(n) + 0.5) * dx
+    gx, gy, gz = np.meshgrid(grid, grid, grid, indexing="ij")
+    center = 0.5 * n * dx
+    sdf = np.sqrt((gx - center) ** 2 + (gy - center) ** 2 + (gz - center) ** 2) - 0.3
+    path = str(tmp_path / "sphere.sdf")
+    sdf_io.write_sdf_file(path, sdf, (0, 0, 0), dx)
+    values, origin, rdx = sdf_io.read_sdf_file(path)
+    assert values.shape == (n, n, n)
+    assert abs(rdx - dx) < 1e-12
+    assert np.max(np.abs(values - sdf)) < 1e-5
+
+    pts = sdf_io.read_sdf(path, ppc=8.0, domain_dx=1.0 / 64,
+                          offset=(0.3, 0.3, 0.3), span=(0.4, 0.4, 0.4))
+    assert len(pts) > 100
+    assert np.all(pts >= 0.29) and np.all(pts <= 0.71)
+    # particles fill a sphere: center of mass near box center
+    assert np.max(np.abs(pts.mean(axis=0) - 0.5)) < 0.02
+
+
+def test_scene_json_end_to_end(tmp_path):
+    scene = {
+        "simulation": {"default_dt": 5e-4, "fps": 48, "frames": 2},
+        "grid": {"domain_bits": 5, "max_active_blocks": 256},
+        "models": [
+            {
+                "constitutive": "fixed_corotated",
+                "shape": {"type": "box"},
+                "offset": [0.4, 0.5, 0.4],
+                "span": [0.2, 0.2, 0.2],
+                "velocity": [0.0, -0.5, 0.0],
+                "rho": 1000.0,
+                "youngs_modulus": 1e4,
+                "poisson_ratio": 0.3,
+            },
+            {
+                "constitutive": "jfluid",
+                "shape": {"type": "sphere"},
+                "offset": [0.3, 0.2, 0.3],
+                "span": [0.15, 0.15, 0.15],
+                "velocity": [0.0, 0.0, 0.0],
+                "rho": 1000.0,
+                "bulk_modulus": 4e4,
+                "gamma": 7.15,
+                "viscosity": 0.01,
+            },
+        ],
+        "colliders": [
+            {"type": "halfspace", "kind": "slip", "origin": [0, 0.15, 0],
+             "normal": [0, 1, 0], "friction": 0.2}
+        ],
+    }
+    path = str(tmp_path / "scene.json")
+    json.dump(scene, open(path, "w"))
+    sc = load_scene(path, tile_chunk=4)
+    assert sc.frames == 2
+    assert len(sc.materials) == 2
+    d0 = sc.engine.diagnostics(sc.state)
+    total = sum(
+        len(p) * m.mass for p, m in zip(sc.positions, sc.materials)
+    )
+    assert abs(d0["grid_mass"] - total) < 1e-3 * total
+    st = sc.engine.run(sc.state, 1)
+    d = sc.engine.diagnostics(st)
+    assert abs(d["grid_mass"] - total) < 1e-3 * total
+
+
+def test_async_io_overlap(tmp_path):
+    out = []
+    for i in range(5):
+        async_io.insert_job(lambda i=i: out.append(i))
+    async_io.flush()
+    assert out == [0, 1, 2, 3, 4]
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    async_io.insert_job(boom)
+    with pytest.raises(RuntimeError):
+        async_io.flush()
