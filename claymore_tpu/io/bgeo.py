@@ -29,14 +29,29 @@ def write_bgeo(
     positions: np.ndarray,
     attributes: Optional[Dict[str, np.ndarray]] = None,
     compress: Optional[bool] = None,
+    asynchronous: bool = False,
 ) -> None:
     """Write a particle cloud.  positions: [n, 3] float.  attributes: map of
-    name -> [n] or [n, k] float32/int32 arrays."""
+    name -> [n] or [n, k] float32/int32 arrays.
+
+    Uses the native C++ serializer + IO thread when available (float attrs,
+    uncompressed); falls back to pure numpy."""
     positions = np.asarray(positions, np.float32)
     n = positions.shape[0]
     attributes = attributes or {}
     if compress is None:
         compress = path.endswith(".gz")
+
+    all_float = all(
+        not np.issubdtype(np.asarray(v).dtype, np.integer)
+        for v in attributes.values()
+    )
+    if not compress and all_float:
+        from .. import native
+
+        if native.write_bgeo_native(path, positions, attributes,
+                                    asynchronous=asynchronous):
+            return
 
     header = struct.pack(
         ">icqiiiiiii" if False else ">i c i i i i i i i i i".replace(" ", ""),

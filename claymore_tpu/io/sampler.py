@@ -56,14 +56,18 @@ def sample_sphere(dx: float, center, radius: float, ppc: float = 8.0) -> np.ndar
 def poisson_disk_sample(
     points: np.ndarray, target_count: int, seed: int = 0
 ) -> np.ndarray:
-    """Weighted-sample-elimination-style down-selection of a candidate cloud
-    to roughly blue-noise spacing (reference SampleGenerator /
-    cySampleElim.h).  Grid-hash greedy elimination: keep the candidate
-    farthest from already-kept points, approximated by jittered stratified
-    thinning — adequate for seeding MPM solids."""
+    """Weighted sample elimination: down-select a candidate cloud to
+    blue-noise spacing (reference SampleGenerator / vendored cySampleElim.h).
+    Uses the native C++ hash-grid + max-heap implementation when available;
+    falls back to jittered stratified thinning."""
     n = points.shape[0]
     if target_count >= n:
         return points
+    from .. import native
+
+    kept = native.sample_elimination_native(points, target_count)
+    if kept is not None:
+        return points[kept]
     rng = np.random.default_rng(seed)
     # stratify by a coarse grid, keep proportional counts per cell
     lo = points.min(axis=0)
