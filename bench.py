@@ -30,7 +30,7 @@ def main(quick: bool = False):
         domain_bits=8, max_active_blocks=8192, default_dt=1e-4,
     )
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=5e3, nu=0.4)
-    eng = cmt.MPMEngine(cfg, [mat], tile_chunk=32)
+    eng = cmt.MPMEngine(cfg, [mat], tile_chunk=64)
 
     span = 0.12 if quick else 0.2  # 0.2 -> ~1.07M particles at 8 ppc
     lo, hi = 0.4 - span / 2, 0.4 + span / 2

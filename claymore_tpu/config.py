@@ -99,9 +99,11 @@ class SimConfig:
             return self.max_tiles
         base = -(-num_particles // self.particle_tile)
         # every particle-occupied block wastes < 1 tile of padding; occupied
-        # blocks ~ P/(ppc*block_volume) for a solid body but surface blocks
-        # are partially filled, so allow 4x plus a floor for tiny models.
-        blocks = max(64, int(4 * num_particles / (self.ppc * self.block_volume)))
+        # blocks ~ P/(ppc*block_volume) for a solid body; surface blocks are
+        # partially filled, covered by the 1.2x margin + floor.  Highly
+        # dispersed models (rare) should set max_tiles explicitly — the
+        # TileMap.dropped diagnostic flags an overflow.
+        blocks = max(64, int(1.2 * num_particles / (self.ppc * self.block_volume)))
         return base + min(blocks, self.max_active_blocks)
 
     def default_volume(self) -> float:
