@@ -44,12 +44,15 @@ def main(quick: bool = False):
     # compile + warm up
     state = eng.substep(state, frame_end)
     jax.block_until_ready(state)
+    float(np.asarray(state.t))  # force a real device sync (block_until_ready
+    # does not reliably block on the axon remote backend)
 
     steps = 5 if quick else 20
     t0 = time.perf_counter()
     for _ in range(steps):
         state = eng.substep(state, frame_end)
     jax.block_until_ready(state)
+    float(np.asarray(state.grid[0, 0, 0]))
     elapsed = time.perf_counter() - t0
 
     mpps = n * steps / elapsed / 1e6

@@ -117,3 +117,6 @@ class SimConfig:
         assert self.domain_bits > self.block_bits >= 1
         assert self.max_active_blocks >= 1
         assert math.log2(self.particle_tile) == int(math.log2(self.particle_tile))
+        # block keys ride through f32 bitcasts with bit 30 as a denormal
+        # guard, so the flat block key space must stay below 2^30
+        assert self.num_table_entries < (1 << 30), "domain too large for key packing"

@@ -99,6 +99,7 @@ def substep_impl(
     state: SimState,
     frame_end: jnp.ndarray,
     comm=None,
+    use_pallas=False,
 ) -> SimState:
     """One explicit MPM substep (reference main_loop body,
     gmpm_simulator.cuh:326-578; MGSP variant mgsp_benchmark.cuh:361-559).
@@ -124,10 +125,19 @@ def substep_impl(
     next_pool = jnp.zeros_like(state.grid)
     new_models = []
     for mat, model in zip(materials, state.models):
-        model, next_pool = transfer.g2p2g_model(
-            cfg, mat, pool_v, state.partition.table, model,
-            dt, next_dt, next_pool, tile_chunk,
-        )
+        if use_pallas:
+            from ..ops.pallas_g2p2g import g2p2g_pallas
+
+            model, next_pool = g2p2g_pallas(
+                cfg, mat, pool_v, state.partition.table, model,
+                dt, next_dt, next_pool,
+                interpret=(use_pallas == "interpret"),
+            )
+        else:
+            model, next_pool = transfer.g2p2g_model(
+                cfg, mat, pool_v, state.partition.table, model,
+                dt, next_dt, next_pool, tile_chunk,
+            )
         new_models.append(model)
 
     extra_mask = None
@@ -180,11 +190,13 @@ class MPMEngine:
         materials: Sequence[Material],
         colliders: Sequence = (),
         tile_chunk: int = 32,
+        use_pallas=False,
     ):
         self.cfg = cfg
         self.materials = tuple(materials)
         self.colliders = tuple(colliders)
         self.tile_chunk = tile_chunk
+        self.use_pallas = use_pallas
         self._num_tiles: List[int] = []
         self.substep = jax.jit(self._substep)
         self.run_frame = jax.jit(self._run_frame)
@@ -238,7 +250,7 @@ class MPMEngine:
     def _substep(self, state: SimState, frame_end: jnp.ndarray) -> SimState:
         return substep_impl(
             self.cfg, self.materials, self.colliders, self.tile_chunk,
-            state, frame_end, comm=None,
+            state, frame_end, comm=None, use_pallas=self.use_pallas,
         )
 
     def _run_frame(self, state: SimState, frame_end: jnp.ndarray) -> SimState:

@@ -150,9 +150,16 @@ def apply_slot_permutation(model, plan: TilePlan):
         else:
             comps.append(v)
             widths.append((k, v.shape[0]))
-    comps.append(jax.lax.bitcast_convert_type(model.pid, jnp.float32)[None, :])
+    # int payloads ride along bitcast to f32; OR in a high exponent bit so
+    # small ints do not become denormals (TPUs flush denormals to zero even
+    # through copies/selects)
+    def enc(x):
+        return jax.lax.bitcast_convert_type(x | jnp.int32(0x40000000),
+                                            jnp.float32)[None, :]
+
+    comps.append(enc(model.pid))
     widths.append(("pid", 1))
-    comps.append(jax.lax.bitcast_convert_type(plan.key, jnp.float32)[None, :])
+    comps.append(enc(plan.key))
     widths.append(("key", 1))
 
     packed = jnp.concatenate(comps, axis=0).T          # [S, C]
@@ -170,10 +177,12 @@ def apply_slot_permutation(model, plan: TilePlan):
     for k, v in model.fields.items():
         val = parts[k] if v.ndim > 1 else parts[k][0]
         fields[k] = jnp.where(vmask if val.ndim == 1 else vmask[None, :], val, 0.0)
-    pid = jax.lax.bitcast_convert_type(parts["pid"][0], jnp.int32)
-    pid = jnp.where(vmask, pid, s_cap)
+    def dec(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32) & jnp.int32(0x3FFFFFFF)
 
-    key_perm = jax.lax.bitcast_convert_type(parts["key"][0], jnp.int32)
+    pid = jnp.where(vmask, dec(parts["pid"][0]), s_cap)
+
+    key_perm = dec(parts["key"][0])
     return (
         model._replace(pos=pos, fields=fields, active=vmask, pid=pid),
         key_perm,

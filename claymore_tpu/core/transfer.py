@@ -37,6 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as _np
 
+_PREC = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16 passes;
+# MPM transfers need full f32 (mass conservation, F updates)
+
 from ..config import SimConfig
 from ..models.materials import Material
 from .types import ParticleModel
@@ -215,7 +218,7 @@ def g2p2g_model(
 
         e = (ux[:, :, None, :] * uy[:, None, :, :]).reshape(ct, 64, 4 * tile)
         r = (uz[:, :, None, :] * sv[:, None, :, :]).reshape(ct, 32, 4 * tile)
-        arena_out = jnp.einsum("tep,tfp->tef", e, r)         # [ct, 64, 32]
+        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=_PREC)
         arena_out = arena_out.reshape(ct, 8, 8, 8, 4)
 
         blocks = _scatter_layout(cfg, arena_out)
@@ -290,7 +293,7 @@ def rasterize_model(
         ) * okf
         e = (wx[:, :, None, :] * wy[:, None, :, :]).reshape(ct, 64, tile)
         r = (wz[:, :, None, :] * sv[:, None, :, :]).reshape(ct, 32, tile)
-        arena_out = jnp.einsum("tep,tfp->tef", e, r).reshape(ct, 8, 8, 8, 4)
+        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=_PREC).reshape(ct, 8, 8, 8, 4)
         blocks = _scatter_layout(cfg, arena_out)
         carry = carry.at[nb_slot.reshape(-1)].add(
             blocks.reshape(ct * 8, 4, cfg.block_volume)

@@ -1,0 +1,315 @@
+"""Pallas fused G2P2G kernel.
+
+The hot loop (reference: the fused CUDA kernel g2p2g,
+Projects/GMPM/mgmpm_kernels.cuh:665-937) as a hand-scheduled TPU kernel.
+The XLA `lax.scan` formulation in core/transfer.py materializes per-chunk
+intermediates (weight one-hots, G2P partials, P2G outer products) to HBM;
+this kernel keeps the whole per-tile pipeline in VMEM:
+
+* grid over tiles; particle state streams through Pallas's automatic
+  double-buffered pipeline (BlockSpec over the slot axis);
+* the 2^3 neighbor grid blocks are fetched by manual async DMA using
+  scalar-prefetched per-tile pool-slot indices (the reference's
+  shared-memory arena staging, mgmpm_kernels.cuh:699-727);
+* transfers run per neighbor block so every in-kernel reshape is a pure
+  dimension collapse/split (Mosaic cannot relayout arbitrary transposes):
+  the grid pool is pre-relayouted once per step to [16(cy,cz), 4ch, 4cx]
+  blocks, G2P contracts cx on the MXU ([48, 4] @ [4, tile]) then cy/cz on
+  the VPU, and P2G is one [16, 4*tile] @ [4*tile, 16] MXU matmul per block
+  with the particle axis as the contraction dim — no atomics,
+  bit-deterministic;
+* per-tile output arenas are summed into the sparse pool block-granularly
+  by the caller (cross-tile reduction).
+
+The caller-facing function mirrors core.transfer.g2p2g_model.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_PREC = jax.lax.Precision.HIGHEST  # full f32 on the MXU
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from ..models.materials import Material
+from ..core.types import ParticleModel
+from ..core.transfer import neighbor_slots
+
+
+def _axis_weights(cfg: SimConfig, pos_ax, origin_ax, li_ax, dtype):
+    """One-hot weight/moment rows for one axis: [8, tile] each
+    (reference bspline_weight, utility_funcs.hpp:10-19)."""
+    d = pos_ax * cfg.dx_inv - jnp.floor(pos_ax * cfg.dx_inv + 0.5) + 1.0
+    w0 = 0.5 * (1.5 - d) ** 2
+    w1 = 0.75 - (d - 1.0) ** 2
+    w2 = 0.5 * (d - 0.5) ** 2
+    iota = jax.lax.broadcasted_iota(jnp.int32, (8, pos_ax.shape[1]), 0)
+    w = (
+        w0 * (iota == li_ax)
+        + w1 * (iota == li_ax + 1)
+        + w2 * (iota == li_ax + 2)
+    ).astype(dtype)
+    cell_x = (origin_ax + iota).astype(dtype) * cfg.dx
+    m = w * (cell_x - pos_ax)
+    return w, m
+
+
+def gather_arenas(cfg: SimConfig, pool: jnp.ndarray,
+                  nb_slot: jnp.ndarray) -> jnp.ndarray:
+    """[T, 8] pool slots -> [T, 3, 8, 8, 8] velocity arenas (XLA gather;
+    cheap block-row gather, the kernel streams the result)."""
+    bs = cfg.block_size
+    blocks = pool[nb_slot][:, :, 1:4]             # [T, 8, 3, bv]
+    t = blocks.shape[0]
+    a = blocks.reshape(t, 2, 2, 2, 3, bs, bs, bs)
+    a = a.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return a.reshape(t, 3, 2 * bs, 2 * bs, 2 * bs)
+
+
+def arenas_to_block_rows(cfg: SimConfig, arenas: jnp.ndarray) -> jnp.ndarray:
+    """[T, 64(x,y), 32(z,c)] kernel outputs -> [T*8, 4, bv] block rows."""
+    t = arenas.shape[0]
+    bs = cfg.block_size
+    a = arenas.reshape(t, 2, bs, 2, bs, 2, bs, 4)  # bx,cx, by,cy, bz,cz, c
+    a = a.transpose(0, 1, 3, 5, 7, 2, 4, 6)        # bx,by,bz, c, cx,cy,cz
+    return a.reshape(t * 8, 4, cfg.block_volume)
+
+
+def _make_kernel(cfg: SimConfig, material: Material, tile: int,
+                 field_widths: Tuple[Tuple[str, int], ...]):
+    bs = cfg.block_size
+    d_inv = cfg.d_inv
+    mass = material.mass
+
+    def kernel(
+        # scalar prefetch (SMEM)
+        origin_ref,    # i32[T, 3]
+        tval_ref,      # i32[T]
+        dt_ref,        # f32[1]
+        ndt_ref,       # f32[1]
+        # streamed per-tile blocks
+        arena_ref,     # f32[1, 3, 8, 8, 8] grid velocities, cell (x, y, z)
+        pos_ref,       # f32[3, tile]
+        act_ref,       # i32[1, tile]
+        *rest,
+    ):
+        t = pl.program_id(0)
+        nf = len(field_widths)
+        field_refs = rest[:nf]
+        out_pos_ref, out_arena_ref = rest[nf], rest[nf + 1]
+        out_field_refs = rest[nf + 2 : nf + 2 + nf]
+        out_act_ref = rest[nf + 2 + nf]
+
+        dtype = jnp.float32
+        dt = dt_ref[0]
+        next_dt = ndt_ref[0]
+        pos = pos_ref[:]                              # [3, tile]
+
+        base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
+        origin = jnp.stack(
+            [origin_ref[t, 0], origin_ref[t, 1], origin_ref[t, 2]]
+        )[:, None]
+        rel = base - origin
+        li = jnp.clip(rel, 0, 5)
+        in_range = jnp.all((rel >= 0) & (rel <= 5), axis=0)
+
+        ws, ms = [], []
+        for ax in range(3):
+            w, m = _axis_weights(
+                cfg, pos[ax][None, :],
+                origin[ax].astype(dtype)[None, :], li[ax][None, :], dtype,
+            )
+            ws.append(w)
+            ms.append(m)
+        (wx, wy, wz), (mx, my, mz) = ws, ms           # [8, tile]
+
+        # --- G2P: contract z on the MXU, y/x on the VPU ---
+        vflat = arena_ref[0].reshape(3 * 64, 8)       # [(c, x, y), z]
+        gz = jnp.dot(vflat, wz, preferred_element_type=dtype, precision=_PREC)   # [192, tile]
+        gmz = jnp.dot(vflat, mz, preferred_element_type=dtype, precision=_PREC)
+        gz = gz.reshape(3, 8, 8, tile)                # c, x, y
+        gmz = gmz.reshape(3, 8, 8, tile)
+        wy_b = wy[None, None, :, :]
+        my_b = my[None, None, :, :]
+        gzy = jnp.sum(gz * wy_b, axis=2)              # [3, 8, tile] (c, x)
+        gzmy = jnp.sum(gz * my_b, axis=2)
+        gmzy = jnp.sum(gmz * wy_b, axis=2)
+        wx_b = wx[None, :, :]
+        mx_b = mx[None, :, :]
+        vel = jnp.sum(gzy * wx_b, axis=1)             # [3, tile]
+        col0 = jnp.sum(gzy * mx_b, axis=1)
+        col1 = jnp.sum(gzmy * wx_b, axis=1)
+        col2 = jnp.sum(gmzy * wx_b, axis=1)
+        cols = (col0, col1, col2)
+        a_soa = tuple(cols[c][r] for r in range(3) for c in range(3))
+
+        # --- material update (SoA component math on [tile] lanes) ---
+        fields = {}
+        for (name, w_), ref in zip(field_widths, field_refs):
+            fields[name] = ref[:] if w_ > 1 else ref[0, :]
+        new_fields, contrib = material.update(d_inv, dt, a_soa, fields)
+
+        new_pos = pos + vel * dt
+        out_pos_ref[:] = new_pos
+
+        q = tuple(
+            (av * mass - cv * next_dt) * d_inv for av, cv in zip(a_soa, contrib)
+        )
+
+        # --- P2G at the advected position, same arena ---
+        base2 = jnp.floor(new_pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
+        rel2 = base2 - origin
+        li2 = jnp.clip(rel2, 0, 5)
+        in_range2 = jnp.all((rel2 >= 0) & (rel2 <= 5), axis=0)
+        ok = (act_ref[0, :] > 0) & in_range & in_range2
+        out_act_ref[0, :] = ok.astype(jnp.int32)
+        for (name, w_), oref in zip(field_widths, out_field_refs):
+            v = new_fields[name]
+            if w_ > 1:
+                oref[:] = v
+            else:
+                oref[0, :] = v
+
+        ws2, ms2 = [], []
+        for ax in range(3):
+            w, m = _axis_weights(
+                cfg, new_pos[ax][None, :],
+                origin[ax].astype(dtype)[None, :], li2[ax][None, :], dtype,
+            )
+            ws2.append(w)
+            ms2.append(m)
+        (wx2, wy2, wz2), (mx2, my2, mz2) = ws2, ms2
+
+        okf = ok[None, :].astype(dtype)
+        velm = vel * mass
+        s0 = jnp.concatenate(
+            [jnp.full((1, tile), mass, dtype), velm], axis=0
+        ) * okf                                       # [4, tile]
+        zero = jnp.zeros((1, tile), dtype)
+        s1 = jnp.concatenate([zero, q[0][None], q[3][None], q[6][None]], 0) * okf
+        s2 = jnp.concatenate([zero, q[1][None], q[4][None], q[7][None]], 0) * okf
+        s3 = jnp.concatenate([zero, q[2][None], q[5][None], q[8][None]], 0) * okf
+        sv = jnp.concatenate([s0, s1, s2, s3], axis=1)   # [4, 4*tile]
+
+        ux = jnp.concatenate([wx2, mx2, wx2, wx2], axis=1)   # [8, 4*tile]
+        uy = jnp.concatenate([wy2, wy2, my2, wy2], axis=1)
+        uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=1)
+
+        tv = tval_ref[t] > 0
+        e = (ux[:, None, :] * uy[None, :, :]).reshape(64, 4 * tile)
+        r = (uz[:, None, :] * sv[None, :, :]).reshape(32, 4 * tile)
+        aout = jnp.dot(e, r.T, preferred_element_type=dtype, precision=_PREC)  # [64(x,y), 32(z,c)]
+        out_arena_ref[0] = jnp.where(tv, aout, 0.0)
+
+    return kernel
+
+
+def g2p2g_pallas(
+    cfg: SimConfig,
+    material: Material,
+    pool_v: jnp.ndarray,
+    table: jnp.ndarray,
+    model: ParticleModel,
+    dt: jnp.ndarray,
+    next_dt: jnp.ndarray,
+    next_pool: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[ParticleModel, jnp.ndarray]:
+    """Drop-in replacement for core.transfer.g2p2g_model on TPU."""
+    tm = model.tiles
+    num_tiles = tm.block.shape[0]
+    tile = cfg.particle_tile
+    bs = cfg.block_size
+
+    nb_slot = neighbor_slots(cfg, table, tm.bcoord)
+    nb_slot = jnp.where(tm.tvalid[:, None], nb_slot, cfg.null_block).astype(jnp.int32)
+    origin = (tm.bcoord * bs).T.astype(jnp.int32)               # [T, 3]
+    tval = tm.tvalid.astype(jnp.int32)                          # [T]
+
+    arenas_in = gather_arenas(cfg, pool_v, nb_slot)
+
+    field_widths = tuple(
+        (k, v.shape[0] if v.ndim > 1 else 1) for k, v in model.fields.items()
+    )
+    kernel = _make_kernel(cfg, material, tile, field_widths)
+
+    smap = lambda t, *pref: (0, t)
+    in_specs = [
+        pl.BlockSpec((1, 3, 8, 8, 8), lambda t, *pref: (t, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), smap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), smap, memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        arenas_in,
+        model.pos,
+        model.active.astype(jnp.int32)[None, :],
+    ]
+    for k, v in model.fields.items():
+        w = v.shape[0] if v.ndim > 1 else 1
+        in_specs.append(
+            pl.BlockSpec((w, tile), smap, memory_space=pltpu.VMEM)
+        )
+        inputs.append(v if v.ndim > 1 else v[None, :])
+
+    s_cap = model.pos.shape[1]
+    out_shapes = [
+        jax.ShapeDtypeStruct((3, s_cap), jnp.float32),               # pos
+        jax.ShapeDtypeStruct((num_tiles, 64, 32), jnp.float32),      # arenas
+    ]
+    out_specs = [
+        pl.BlockSpec((3, tile), smap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 64, 32), lambda t, *pref: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for k, w in field_widths:
+        out_shapes.append(jax.ShapeDtypeStruct((w, s_cap), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((w, tile), smap, memory_space=pltpu.VMEM)
+        )
+    out_shapes.append(jax.ShapeDtypeStruct((1, s_cap), jnp.int32))   # active
+    out_specs.append(
+        pl.BlockSpec((1, tile), smap, memory_space=pltpu.VMEM)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        origin, tval,
+        jnp.full((1,), 0.0, jnp.float32) + dt,
+        jnp.full((1,), 0.0, jnp.float32) + next_dt,
+        *inputs,
+    )
+
+    new_pos, arenas = outs[0], outs[1]
+    nf = len(field_widths)
+    new_field_arrays = outs[2 : 2 + nf]
+    new_active = outs[2 + nf][0] > 0
+
+    fields_out = {}
+    for (k, w), arr in zip(field_widths, new_field_arrays):
+        fields_out[k] = arr if w > 1 else arr[0]
+
+    blocks = arenas_to_block_rows(cfg, arenas)
+    next_pool = next_pool.at[nb_slot.reshape(-1)].add(blocks)
+    next_pool = next_pool.at[cfg.null_block].set(0.0)
+
+    pid_out = jnp.where(new_active, model.pid, s_cap)
+    new_model = model._replace(
+        pos=new_pos, fields=fields_out, active=new_active, pid=pid_out
+    )
+    return new_model, next_pool
