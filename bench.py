@@ -1,17 +1,19 @@
-"""Benchmark harness — single chip, flagship elastic scene.
+"""Benchmark harness — single chip.
 
-Reproduces BASELINE.md config 1 (GMPM elastic cube, ~1M particles, 256^3
-sparse grid) and reports throughput in million particle-steps per second per
-chip.  ``vs_baseline`` is measured against the reference's single-GPU fused
-G2P2G pipeline at an estimated 250 M particle-steps/s on its Quadro P6000
-(the repo publishes claims in prose, not tables — see BASELINE.md).
+Default: BASELINE.md config 1 (GMPM elastic cube, ~1M particles, 256^3
+sparse grid), throughput in million particle-steps per second per chip.
+``vs_baseline`` compares against the reference's single-GPU fused G2P2G
+pipeline at an estimated 250 M particle-steps/s on its Quadro P6000 (the
+repo publishes claims in prose, not tables — see BASELINE.md).
 
+Other BASELINE configs: --scene=dambreak | sand | multimat | sphere.
 Prints exactly one JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -19,33 +21,84 @@ import numpy as np
 CLAYMORE_BASELINE_MPPS = 250.0
 
 
-def main(quick: bool = False):
+def build(scene: str, quick: bool):
+    import claymore_tpu as cmt
+    from claymore_tpu.io.sampler import sample_uniform_box_world, sample_sphere
+
+    cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=8192, default_dt=1e-4)
+    vol = cfg.default_volume()
+    span = 0.12 if quick else 0.2
+    lo, hi = 0.4 - span / 2, 0.4 + span / 2
+
+    if scene == "cube":
+        mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
+        parts = [sample_uniform_box_world(
+            cfg.dx, [lo, 0.5, lo], [hi, 0.5 + span, hi], cfg.ppc)]
+        v0s = [(0.0, -0.5, 0.0)]
+    elif scene == "sphere":
+        mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
+        parts = [sample_sphere(cfg.dx, (0.4, 0.6, 0.4), span / 2 * 1.24, cfg.ppc)]
+        v0s = [(0.0, -0.5, 0.0)]
+    elif scene == "dambreak":
+        mats = [cmt.JFluid(volume=vol)]
+        parts = [sample_uniform_box_world(
+            cfg.dx, [0.1, 0.1, 0.1], [0.1 + span, 0.1 + 2 * span, 0.1 + 2 * span],
+            cfg.ppc)]
+        v0s = [(0.0, 0.0, 0.0)]
+    elif scene == "sand":
+        mats = [cmt.Sand(volume=vol, e=1e4, rho=1500.0)]
+        parts = [sample_uniform_box_world(
+            cfg.dx, [0.4, 0.1, 0.4], [0.4 + span, 0.1 + 2 * span, 0.4 + span],
+            cfg.ppc)]
+        v0s = [(0.0, 0.0, 0.0)]
+    elif scene == "multimat":
+        h = span / 2
+        mats = [
+            cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4),
+            cmt.JFluid(volume=vol),
+            cmt.Sand(volume=vol, e=1e4, rho=1500.0),
+        ]
+        parts = [
+            sample_uniform_box_world(cfg.dx, [0.2, 0.5, 0.2],
+                                     [0.2 + h, 0.5 + h, 0.2 + h], cfg.ppc),
+            sample_uniform_box_world(cfg.dx, [0.5, 0.1, 0.5],
+                                     [0.5 + h, 0.1 + h, 0.5 + h], cfg.ppc),
+            sample_uniform_box_world(cfg.dx, [0.6, 0.5, 0.2],
+                                     [0.6 + h, 0.5 + h, 0.2 + h], cfg.ppc),
+        ]
+        v0s = [(0.0, -0.5, 0.0)] * 3
+    else:
+        raise SystemExit(f"unknown scene {scene}")
+    return cfg, mats, parts, v0s
+
+
+def main():
+    quick = "--quick" in sys.argv
+    xla_only = "--xla" in sys.argv
+    scene = "cube"
+    for a in sys.argv[1:]:
+        if a.startswith("--scene="):
+            scene = a.split("=", 1)[1]
+
     import jax
     import jax.numpy as jnp
 
     import claymore_tpu as cmt
-    from claymore_tpu.io.sampler import sample_uniform_box_world
 
-    cfg = cmt.SimConfig(
-        domain_bits=8, max_active_blocks=8192, default_dt=1e-4,
-    )
-    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=5e3, nu=0.4)
-    eng = cmt.MPMEngine(cfg, [mat], tile_chunk=64)
+    cfg, mats, parts, v0s = build(scene, quick)
+    on_tpu = jax.default_backend() == "tpu"
+    eng = cmt.MPMEngine(cfg, mats, tile_chunk=64,
+                        use_pallas=(on_tpu and not xla_only))
+    n = sum(p.shape[0] for p in parts)
 
-    span = 0.12 if quick else 0.2  # 0.2 -> ~1.07M particles at 8 ppc
-    lo, hi = 0.4 - span / 2, 0.4 + span / 2
-    pos = sample_uniform_box_world(cfg.dx, [lo, 0.5, lo], [hi, 0.5 + span, hi],
-                                   cfg.ppc)
-    n = pos.shape[0]
-
-    state = eng.init_state([pos], [(0.0, -0.5, 0.0)])
+    state = eng.init_state(parts, v0s)
     frame_end = jnp.float32(1e9)
 
-    # compile + warm up
+    # compile + warm up; force a REAL device sync (block_until_ready does not
+    # reliably block on the axon remote backend)
     state = eng.substep(state, frame_end)
     jax.block_until_ready(state)
-    float(np.asarray(state.t))  # force a real device sync (block_until_ready
-    # does not reliably block on the axon remote backend)
+    float(np.asarray(state.t))
 
     steps = 5 if quick else 20
     t0 = time.perf_counter()
@@ -56,20 +109,19 @@ def main(quick: bool = False):
     elapsed = time.perf_counter() - t0
 
     mpps = n * steps / elapsed / 1e6
-    ms_per_step = elapsed / steps * 1e3
     print(json.dumps({
-        "metric": "M particle-steps/sec/chip (elastic cube, fixed corotated)",
+        "metric": "M particle-steps/sec/chip (elastic cube, fixed corotated)"
+        if scene == "cube" else f"M particle-steps/sec/chip ({scene})",
         "value": round(mpps, 3),
         "unit": "Mpps",
         "vs_baseline": round(mpps / CLAYMORE_BASELINE_MPPS, 4),
         "particles": n,
-        "ms_per_step": round(ms_per_step, 3),
+        "ms_per_step": round(elapsed / steps * 1e3, 3),
         "steps": steps,
+        "backend": "pallas" if (on_tpu and not xla_only) else "xla",
         "device": str(jax.devices()[0]),
     }))
 
 
 if __name__ == "__main__":
-    import sys
-
-    main(quick="--quick" in sys.argv)
+    main()

@@ -282,6 +282,26 @@ class MPMEngine:
         return state
 
     # ------------------------------------------------------------------
+    # runtime parameter updates
+    # ------------------------------------------------------------------
+
+    def update_material(self, model_idx: int, **params) -> "MPMEngine":
+        """Return a new engine with updated material parameters (reference
+        update_fr_parameters / update_j_fluid_parameters /
+        update_nacc_parameters, gmpm_simulator.cuh:211-254).  Materials are
+        static, so this re-jits — the moral equivalent of the reference's
+        per-material template re-instantiation.  SimStates carry over as-is
+        (particle fields are material-agnostic shapes)."""
+        import dataclasses as _dc
+
+        mats = list(self.materials)
+        mats[model_idx] = _dc.replace(mats[model_idx], **params)
+        eng = MPMEngine(self.cfg, mats, self.colliders, self.tile_chunk,
+                        self.use_pallas)
+        eng._num_tiles = list(self._num_tiles)
+        return eng
+
+    # ------------------------------------------------------------------
     # inspection / output
     # ------------------------------------------------------------------
 

@@ -86,10 +86,12 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
     d_inv = cfg.d_inv
     mass = material.mass
 
+    g = cfg.grid_size
+    n3 = g * g * g
+
     def kernel(
         # scalar prefetch (SMEM)
-        origin_ref,    # i32[T, 3]
-        tval_ref,      # i32[T]
+        key_ref,       # i32[T] home-block flat key (n3 = unused tile)
         dt_ref,        # f32[1]
         ndt_ref,       # f32[1]
         # streamed per-tile blocks
@@ -111,9 +113,11 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         pos = pos_ref[:]                              # [3, tile]
 
         base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
+        key = key_ref[t]
+        kc = jnp.minimum(key, n3 - 1)
         origin = jnp.stack(
-            [origin_ref[t, 0], origin_ref[t, 1], origin_ref[t, 2]]
-        )[:, None]
+            [kc // (g * g), (kc // g) % g, kc % g]
+        )[:, None] * bs
         rel = base - origin
         li = jnp.clip(rel, 0, 5)
         in_range = jnp.all((rel >= 0) & (rel <= 5), axis=0)
@@ -200,7 +204,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         uy = jnp.concatenate([wy2, wy2, my2, wy2], axis=1)
         uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=1)
 
-        tv = tval_ref[t] > 0
+        tv = key < n3
         e = (ux[:, None, :] * uy[None, :, :]).reshape(64, 4 * tile)
         r = (uz[:, None, :] * sv[None, :, :]).reshape(32, 4 * tile)
         aout = jnp.dot(e, r.T, preferred_element_type=dtype, precision=_PREC)  # [64(x,y), 32(z,c)]
@@ -228,8 +232,13 @@ def g2p2g_pallas(
 
     nb_slot = neighbor_slots(cfg, table, tm.bcoord)
     nb_slot = jnp.where(tm.tvalid[:, None], nb_slot, cfg.null_block).astype(jnp.int32)
-    origin = (tm.bcoord * bs).T.astype(jnp.int32)               # [T, 3]
-    tval = tm.tvalid.astype(jnp.int32)                          # [T]
+    g = cfg.grid_size
+    n3 = g * g * g
+    tile_key = jnp.where(
+        tm.tvalid,
+        (tm.bcoord[0] * g + tm.bcoord[1]) * g + tm.bcoord[2],
+        n3,
+    ).astype(jnp.int32)
 
     arenas_in = gather_arenas(cfg, pool_v, nb_slot)
 
@@ -278,7 +287,7 @@ def g2p2g_pallas(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -289,7 +298,7 @@ def g2p2g_pallas(
         out_shape=out_shapes,
         interpret=interpret,
     )(
-        origin, tval,
+        tile_key,
         jnp.full((1,), 0.0, jnp.float32) + dt,
         jnp.full((1,), 0.0, jnp.float32) + next_dt,
         *inputs,
