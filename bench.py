@@ -25,7 +25,8 @@ def build(scene: str, quick: bool):
     import claymore_tpu as cmt
     from claymore_tpu.io.sampler import sample_uniform_box_world, sample_sphere
 
-    cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=8192, default_dt=1e-4)
+    cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=8192, default_dt=1e-4,
+                        rebucket_every=2)
     vol = cfg.default_volume()
     span = 0.12 if quick else 0.2
     lo, hi = 0.4 - span / 2, 0.4 + span / 2
@@ -101,9 +102,11 @@ def main():
     float(np.asarray(state.t))
 
     steps = 5 if quick else 20
+    state = eng.run_steps(state, steps, frame_end)  # compile the loop
+    jax.block_until_ready(state)
+    float(np.asarray(state.t))
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state = eng.substep(state, frame_end)
+    state = eng.run_steps(state, steps, frame_end)
     jax.block_until_ready(state)
     float(np.asarray(state.grid[0, 0, 0]))
     elapsed = time.perf_counter() - t0

@@ -45,6 +45,29 @@ class SimConfig:
     default_dt: float = 1e-4
     fps: int = 24
 
+    # --- lazy rebucketing ---
+    # Rebuild buckets/partition every K substeps instead of every substep
+    # (the reference rebuilds every step).  K>1 amortizes the sort+permute
+    # chain; the transfer arena widens from 2^3 to 4^3 blocks to tolerate up
+    # to ceil(K/2) cells of drift (CFL guarantees <= 0.5 cells/step).
+    rebucket_every: int = 1
+
+    @cached_property
+    def arena_span(self) -> int:
+        """Neighbor blocks per axis in the transfer arena.  The 2^3 arena
+        tolerates one cell of drift (cells [4hb, 4hb+7] vs assignment-time
+        base in [4hb+1, 4hb+4]), so K<=2 needs no widening; K>2 uses 4^3."""
+        return 2 if self.rebucket_every <= 2 else 4
+
+    @cached_property
+    def arena_lo(self) -> int:
+        """First arena block offset relative to the home block."""
+        return 0 if self.rebucket_every <= 2 else -1
+
+    @cached_property
+    def arena_cells(self) -> int:
+        return self.arena_span * self.block_size
+
     # ----- derived geometry -----
     @cached_property
     def domain_size(self) -> int:
@@ -103,7 +126,7 @@ class SimConfig:
         # partially filled, covered by the 1.2x margin + floor.  Highly
         # dispersed models (rare) should set max_tiles explicitly — the
         # TileMap.dropped diagnostic flags an overflow.
-        blocks = max(64, int(1.2 * num_particles / (self.ppc * self.block_volume)))
+        blocks = max(64, int(1.1 * num_particles / (self.ppc * self.block_volume)))
         return base + min(blocks, self.max_active_blocks)
 
     def default_volume(self) -> float:
@@ -120,3 +143,5 @@ class SimConfig:
         # block keys ride through f32 bitcasts with bit 30 as a denormal
         # guard, so the flat block key space must stay below 2^30
         assert self.num_table_entries < (1 << 30), "domain too large for key packing"
+        # drift tolerance of the 4^3 arena: ceil(K/2) + 1 cells on each side
+        assert 1 <= self.rebucket_every <= 8, "rebucket_every must be in [1, 8]"

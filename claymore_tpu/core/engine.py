@@ -140,31 +140,54 @@ def substep_impl(
             )
         new_models.append(model)
 
+    # lazy rebucketing: rebuild buckets/partition only every K substeps
+    # (reference rebuilds every substep; K>1 amortizes the sort+permute
+    # chain under the drift-tolerant 4^3 arena)
+    k_every = cfg.rebucket_every
+    do_rebuild = (
+        jnp.bool_(True) if k_every == 1 else ((state.step + 1) % k_every == 0)
+    )
+
     extra_mask = None
     halo_slabs = None
     if comm is not None:
         halo_slabs = comm.exchange_halo(next_pool, state.partition)
-        new_models = comm.migrate(new_models, materials)
+        # migration only takes effect on rebuild steps (migrants would sit
+        # untiled otherwise); collectives run unconditionally, payload-masked
+        new_models = comm.migrate(new_models, materials, enable=do_rebuild)
         extra_mask = comm.halo_mass_mask(halo_slabs)
 
-    permuted, tile_keys, droppeds = [], [], []
-    for m in new_models:
-        plan = part.plan_tiles(cfg, m.pos, m.active, m.tiles.block.shape[0])
-        pm, key_perm = part.apply_slot_permutation(m, plan)
-        permuted.append(pm)
-        tile_keys.append(part.tile_keys_from_slots(cfg, key_perm, plan.valid))
-        droppeds.append(plan.dropped)
+    def _rebuild(ops):
+        pool, models = ops
+        permuted, tile_keys, droppeds = [], [], []
+        for m in models:
+            plan = part.plan_tiles(cfg, m.pos, m.active, m.tiles.block.shape[0])
+            pm, key_perm = part.apply_slot_permutation(m, plan)
+            permuted.append(pm)
+            tile_keys.append(part.tile_keys_from_slots(cfg, key_perm, plan.valid))
+            droppeds.append(plan.dropped)
+        partition, pool = part.rebuild(
+            cfg, pool, state.partition, tuple(tile_keys), extra_mask=extra_mask,
+        )
+        models = tuple(
+            pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
+            for pm, tk, dr in zip(permuted, tile_keys, droppeds)
+        )
+        return partition, pool, models
 
-    partition, next_pool = part.rebuild(
-        cfg, next_pool, state.partition, tuple(tile_keys), extra_mask=extra_mask,
-    )
+    def _skip(ops):
+        pool, models = ops
+        return state.partition, pool, tuple(models)
+
+    if k_every == 1:
+        partition, next_pool, new_models = _rebuild((next_pool, new_models))
+    else:
+        partition, next_pool, new_models = jax.lax.cond(
+            do_rebuild, _rebuild, _skip, (next_pool, tuple(new_models))
+        )
+
     if comm is not None:
         next_pool = comm.add_halo(next_pool, partition, halo_slabs)
-
-    new_models = [
-        pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
-        for pm, tk, dr in zip(permuted, tile_keys, droppeds)
-    ]
 
     return SimState(
         grid=next_pool,
@@ -200,6 +223,7 @@ class MPMEngine:
         self._num_tiles: List[int] = []
         self.substep = jax.jit(self._substep)
         self.run_frame = jax.jit(self._run_frame)
+        self.run_steps = jax.jit(self._run_steps, static_argnums=1)
 
     # ------------------------------------------------------------------
     # setup
@@ -251,6 +275,14 @@ class MPMEngine:
         return substep_impl(
             self.cfg, self.materials, self.colliders, self.tile_chunk,
             state, frame_end, comm=None, use_pallas=self.use_pallas,
+        )
+
+    def _run_steps(self, state: SimState, n: int, frame_end: jnp.ndarray) -> SimState:
+        """n substeps in ONE device program — avoids per-step host dispatch
+        (the axon tunnel costs ~40 ms/dispatch; the reference pays a similar
+        per-substep host sync for its max-vel readback)."""
+        return jax.lax.fori_loop(
+            0, n, lambda i, s: self._substep(s, frame_end), state
         )
 
     def _run_frame(self, state: SimState, frame_end: jnp.ndarray) -> SimState:

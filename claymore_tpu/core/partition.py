@@ -216,19 +216,27 @@ def finalize_tiles(cfg: SimConfig, partition: Partition, tile_keys: jnp.ndarray,
 # partition rebuild
 # --------------------------------------------------------------------------
 
-def _dilate_01(cfg: SimConfig, mask3: jnp.ndarray) -> jnp.ndarray:
-    """OR of shifts by every offset in {0,1}^3 (the scatter stencil extends
-    only one block in the + direction; reference register_neighbor_blocks,
-    mgmpm_kernels.cuh:118-133)."""
+def _dilate(cfg: SimConfig, mask3: jnp.ndarray) -> jnp.ndarray:
+    """OR of shifts by every offset in the transfer's scatter stencil:
+    {0,1}^3 when rebucketing every step (the stencil extends one block in the
+    + direction; reference register_neighbor_blocks, mgmpm_kernels.cuh:118-133),
+    {-1..2}^3 for the drift-tolerant 4^3 arena of lazy rebucketing."""
+    lo, hi = cfg.arena_lo, cfg.arena_lo + cfg.arena_span - 1
+    n = mask3.shape[0]
     out = mask3
-    for ox in (0, 1):
-        for oy in (0, 1):
-            for oz in (0, 1):
+    offs = range(lo, hi + 1)
+    for ox in offs:
+        for oy in offs:
+            for oz in offs:
                 if ox == 0 and oy == 0 and oz == 0:
                     continue
-                shifted = jnp.pad(
-                    mask3, ((ox, 0), (oy, 0), (oz, 0)), constant_values=False
-                )[: mask3.shape[0], : mask3.shape[1], : mask3.shape[2]]
+                pads = tuple((max(o, 0), max(-o, 0)) for o in (ox, oy, oz))
+                shifted = jnp.pad(mask3, pads, constant_values=False)
+                shifted = shifted[
+                    pads[0][1] : pads[0][1] + n,
+                    pads[1][1] : pads[1][1] + n,
+                    pads[2][1] : pads[2][1] + n,
+                ]
                 out = out | shifted
     return out
 
@@ -263,7 +271,7 @@ def rebuild(
     pmask = jnp.zeros((n3,), jnp.bool_)
     for keys in model_block_keys:
         pmask = pmask.at[keys].set(True, mode="drop")
-    pmask = _dilate_01(cfg, pmask.reshape(g, g, g)).reshape(-1)
+    pmask = _dilate(cfg, pmask.reshape(g, g, g)).reshape(-1)
     mask = mask | pmask
     if extra_mask is not None:
         mask = mask | extra_mask.reshape(-1)

@@ -45,11 +45,10 @@ from ..models.materials import Material
 from .types import ParticleModel
 from . import partition as part
 
-_IOTA8 = jnp.arange(8, dtype=jnp.int32)
-
-_NB_OFFS_NP = _np.stack(
-    _np.meshgrid(*([_np.arange(2, dtype=_np.int32)] * 3), indexing="ij"), axis=0
-).reshape(3, 8)
+def _nb_offsets(cfg):
+    """[3, span^3] neighbor block offsets (arena_lo .. arena_lo+span-1)."""
+    r = _np.arange(cfg.arena_lo, cfg.arena_lo + cfg.arena_span, dtype=_np.int32)
+    return _np.stack(_np.meshgrid(r, r, r, indexing="ij"), axis=0).reshape(3, -1)
 
 
 def _bspline_onehot(cfg: SimConfig, pos, origin):
@@ -57,18 +56,19 @@ def _bspline_onehot(cfg: SimConfig, pos, origin):
     axis (reference bspline_weight, utility_funcs.hpp:10-19).
 
     pos: [3, ct, tile]; origin: [3, ct, 1] arena origin cell per tile.
-    Returns (w, m, in_range): w, m are 3-tuples of [ct, 8, tile]; in_range is
-    [ct, tile].
+    Returns (w, m, in_range): w, m are 3-tuples of [ct, C, tile] (C = arena
+    cells); in_range is [ct, tile].
     """
     dx = cfg.dx
+    cells = cfg.arena_cells
     base = part.base_cell(cfg, pos)                       # [3, ct, tile]
     d = pos * cfg.dx_inv - base.astype(pos.dtype)         # in [0.5, 1.5]
 
-    li = base - origin                                    # nominal [1, 4]
-    in_range = jnp.all((li >= 0) & (li <= 5), axis=0)
-    li = jnp.clip(li, 0, 5)
+    li = base - origin
+    in_range = jnp.all((li >= 0) & (li <= cells - 3), axis=0)
+    li = jnp.clip(li, 0, cells - 3)
 
-    iota = _IOTA8[None, :, None]                          # [1, 8, 1]
+    iota = jnp.arange(cells, dtype=jnp.int32)[None, :, None]   # [1, C, 1]
     ws, ms = [], []
     for ax in range(3):
         da = d[ax][:, None, :]                            # [ct, 1, tile]
@@ -89,28 +89,31 @@ def _bspline_onehot(cfg: SimConfig, pos, origin):
 
 
 def neighbor_slots(cfg: SimConfig, table, bcoord):
-    """Pool slots of the 2^3 neighbor blocks of each tile: [T, 8]."""
-    nb = bcoord[:, :, None] + jnp.asarray(_NB_OFFS_NP)[:, None, :]
+    """Pool slots of the arena's neighbor blocks per tile: [T, span^3]."""
+    nb = bcoord[:, :, None] + jnp.asarray(_nb_offsets(cfg))[:, None, :]
     return part.lookup(cfg, table, nb)
 
 
 def _arena_from_slots(cfg: SimConfig, pool, nb_slot):
-    """[ct, 8] pool slots -> [ct, 4, 8, 8, 8] cell arena."""
+    """[ct, span^3] pool slots -> [ct, 4, C, C, C] cell arena."""
     bs = cfg.block_size
-    blocks = pool[nb_slot]                                # [ct, 8, 4, bv]
+    sp = cfg.arena_span
+    blocks = pool[nb_slot]                                # [ct, s^3, 4, bv]
     t = blocks.shape[0]
-    arena = blocks.reshape(t, 2, 2, 2, 4, bs, bs, bs)
+    arena = blocks.reshape(t, sp, sp, sp, 4, bs, bs, bs)
     arena = arena.transpose(0, 4, 1, 5, 2, 6, 3, 7)
-    return arena.reshape(t, 4, 2 * bs, 2 * bs, 2 * bs)
+    c = sp * bs
+    return arena.reshape(t, 4, c, c, c)
 
 
 def _scatter_layout(cfg: SimConfig, arena_out):
-    """[ct, 8, 8, 8, 4] (x, y, z, c) cell arena -> [ct, 8, 4, bv] block rows."""
+    """[ct, C, C, C, 4] (x, y, z, c) cell arena -> [ct, s^3, 4, bv] rows."""
     bs = cfg.block_size
+    sp = cfg.arena_span
     t = arena_out.shape[0]
-    a = arena_out.reshape(t, 2, bs, 2, bs, 2, bs, 4)
+    a = arena_out.reshape(t, sp, bs, sp, bs, sp, bs, 4)
     a = a.transpose(0, 1, 3, 5, 7, 2, 4, 6)
-    return a.reshape(t, 8, 4, cfg.block_volume)
+    return a.reshape(t, sp ** 3, 4, cfg.block_volume)
 
 
 def _chunked(x, nchunks, tile_chunk, tile):
@@ -154,9 +157,9 @@ def g2p2g_model(
         valid = valid.reshape(ct, tile)
         arena = _arena_from_slots(cfg, carry[1], nb_slot)
 
-        origin = (bcoord * cfg.block_size)[:, :, None]    # [3, ct, 1]
+        origin = ((bcoord + cfg.arena_lo) * cfg.block_size)[:, :, None]
         w, mvec, _ = _bspline_onehot(cfg, pos, origin)
-        (wx, wy, wz), (mx, my, mz) = w, mvec              # [ct, 8, tile]
+        (wx, wy, wz), (mx, my, mz) = w, mvec              # [ct, C, tile]
 
         vgrid = arena[:, 1:4]                             # [ct, 3, 8, 8, 8]
         gx = jnp.einsum("txp,tcxyz->tcyzp", wx, vgrid)
@@ -216,14 +219,17 @@ def g2p2g_model(
         uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=2)
         sv = jnp.concatenate([s0, s1, s2, s3], axis=2)       # [ct, 4, 4*tile]
 
-        e = (ux[:, :, None, :] * uy[:, None, :, :]).reshape(ct, 64, 4 * tile)
-        r = (uz[:, :, None, :] * sv[:, None, :, :]).reshape(ct, 32, 4 * tile)
+        cells = cfg.arena_cells
+        e = (ux[:, :, None, :] * uy[:, None, :, :]).reshape(
+            ct, cells * cells, 4 * tile)
+        r = (uz[:, :, None, :] * sv[:, None, :, :]).reshape(
+            ct, cells * 4, 4 * tile)
         arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=_PREC)
-        arena_out = arena_out.reshape(ct, 8, 8, 8, 4)
+        arena_out = arena_out.reshape(ct, cells, cells, cells, 4)
 
         blocks = _scatter_layout(cfg, arena_out)
         acc = carry[0].at[nb_slot.reshape(-1)].add(
-            blocks.reshape(ct * 8, 4, cfg.block_volume)
+            blocks.reshape(ct * cfg.arena_span ** 3, 4, cfg.block_volume)
         )
         return (acc, carry[1]), (new_pos.reshape(3, -1), new_fields_flat,
                                  ok.reshape(-1))
@@ -233,7 +239,7 @@ def g2p2g_model(
         {k: _chunked(v, nchunks, tile_chunk, tile) for k, v in model.fields.items()},
         _chunked(model.active, nchunks, tile_chunk, tile),
         jnp.moveaxis(tm.bcoord.reshape(3, nchunks, tile_chunk), 1, 0),
-        nb_slot_all.reshape(nchunks, tile_chunk, 8),
+        nb_slot_all.reshape(nchunks, tile_chunk, cfg.arena_span ** 3),
     )
     (next_pool, _), (new_pos, new_fields, ok) = jax.lax.scan(
         chunk, (next_pool, pool_v), xs
@@ -282,21 +288,25 @@ def rasterize_model(
         ct = tile_chunk
         pos = pos.reshape(3, ct, tile)
         valid = valid.reshape(ct, tile)
-        origin = (bcoord * cfg.block_size)[:, :, None]
+        origin = ((bcoord + cfg.arena_lo) * cfg.block_size)[:, :, None]
         w, _, in_range = _bspline_onehot(cfg, pos, origin)
         wx, wy, wz = w
+        cells = cfg.arena_cells
         okf = (valid & in_range)[:, None, :].astype(pos.dtype)
         sv = jnp.concatenate(
             [jnp.full((ct, 1, tile), mass, pos.dtype),
              jnp.broadcast_to((mass * v0)[None, :, None], (ct, 3, tile))],
             axis=1,
         ) * okf
-        e = (wx[:, :, None, :] * wy[:, None, :, :]).reshape(ct, 64, tile)
-        r = (wz[:, :, None, :] * sv[:, None, :, :]).reshape(ct, 32, tile)
-        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=_PREC).reshape(ct, 8, 8, 8, 4)
+        e = (wx[:, :, None, :] * wy[:, None, :, :]).reshape(
+            ct, cells * cells, tile)
+        r = (wz[:, :, None, :] * sv[:, None, :, :]).reshape(
+            ct, cells * 4, tile)
+        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=_PREC).reshape(
+            ct, cells, cells, cells, 4)
         blocks = _scatter_layout(cfg, arena_out)
         carry = carry.at[nb_slot.reshape(-1)].add(
-            blocks.reshape(ct * 8, 4, cfg.block_volume)
+            blocks.reshape(ct * cfg.arena_span ** 3, 4, cfg.block_volume)
         )
         return carry, None
 
@@ -304,7 +314,7 @@ def rasterize_model(
         _chunked(model.pos, nchunks, tile_chunk, tile),
         _chunked(model.active, nchunks, tile_chunk, tile),
         jnp.moveaxis(tm.bcoord.reshape(3, nchunks, tile_chunk), 1, 0),
-        nb_slot_all.reshape(nchunks, tile_chunk, 8),
+        nb_slot_all.reshape(nchunks, tile_chunk, cfg.arena_span ** 3),
     )
     pool, _ = jax.lax.scan(chunk, pool, xs)
     return pool.at[cfg.null_block].set(0.0)

@@ -42,13 +42,14 @@ from ..core.transfer import neighbor_slots
 
 
 def _axis_weights(cfg: SimConfig, pos_ax, origin_ax, li_ax, dtype):
-    """One-hot weight/moment rows for one axis: [8, tile] each
+    """One-hot weight/moment rows for one axis: [C, tile] each
     (reference bspline_weight, utility_funcs.hpp:10-19)."""
     d = pos_ax * cfg.dx_inv - jnp.floor(pos_ax * cfg.dx_inv + 0.5) + 1.0
     w0 = 0.5 * (1.5 - d) ** 2
     w1 = 0.75 - (d - 1.0) ** 2
     w2 = 0.5 * (d - 0.5) ** 2
-    iota = jax.lax.broadcasted_iota(jnp.int32, (8, pos_ax.shape[1]), 0)
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (cfg.arena_cells, pos_ax.shape[1]), 0)
     w = (
         w0 * (iota == li_ax)
         + w1 * (iota == li_ax + 1)
@@ -61,23 +62,26 @@ def _axis_weights(cfg: SimConfig, pos_ax, origin_ax, li_ax, dtype):
 
 def gather_arenas(cfg: SimConfig, pool: jnp.ndarray,
                   nb_slot: jnp.ndarray) -> jnp.ndarray:
-    """[T, 8] pool slots -> [T, 3, 8, 8, 8] velocity arenas (XLA gather;
-    cheap block-row gather, the kernel streams the result)."""
+    """[T, span^3] pool slots -> [T, 3, C, C, C] velocity arenas (XLA
+    gather; cheap block-row gather, the kernel streams the result)."""
     bs = cfg.block_size
-    blocks = pool[nb_slot][:, :, 1:4]             # [T, 8, 3, bv]
+    sp = cfg.arena_span
+    blocks = pool[nb_slot][:, :, 1:4]             # [T, s^3, 3, bv]
     t = blocks.shape[0]
-    a = blocks.reshape(t, 2, 2, 2, 3, bs, bs, bs)
+    a = blocks.reshape(t, sp, sp, sp, 3, bs, bs, bs)
     a = a.transpose(0, 4, 1, 5, 2, 6, 3, 7)
-    return a.reshape(t, 3, 2 * bs, 2 * bs, 2 * bs)
+    c = sp * bs
+    return a.reshape(t, 3, c, c, c)
 
 
 def arenas_to_block_rows(cfg: SimConfig, arenas: jnp.ndarray) -> jnp.ndarray:
-    """[T, 64(x,y), 32(z,c)] kernel outputs -> [T*8, 4, bv] block rows."""
+    """[T, C*C(x,y), C*4(z,c)] kernel outputs -> [T*span^3, 4, bv] rows."""
     t = arenas.shape[0]
     bs = cfg.block_size
-    a = arenas.reshape(t, 2, bs, 2, bs, 2, bs, 4)  # bx,cx, by,cy, bz,cz, c
+    sp = cfg.arena_span
+    a = arenas.reshape(t, sp, bs, sp, bs, sp, bs, 4)
     a = a.transpose(0, 1, 3, 5, 7, 2, 4, 6)        # bx,by,bz, c, cx,cy,cz
-    return a.reshape(t * 8, 4, cfg.block_volume)
+    return a.reshape(t * sp ** 3, 4, cfg.block_volume)
 
 
 def _make_kernel(cfg: SimConfig, material: Material, tile: int,
@@ -88,6 +92,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
 
     g = cfg.grid_size
     n3 = g * g * g
+
+    cells = cfg.arena_cells
 
     def kernel(
         # scalar prefetch (SMEM)
@@ -110,105 +116,127 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         dtype = jnp.float32
         dt = dt_ref[0]
         next_dt = ndt_ref[0]
-        pos = pos_ref[:]                              # [3, tile]
-
-        base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
         key = key_ref[t]
-        kc = jnp.minimum(key, n3 - 1)
-        origin = jnp.stack(
-            [kc // (g * g), (kc // g) % g, kc % g]
-        )[:, None] * bs
-        rel = base - origin
-        li = jnp.clip(rel, 0, 5)
-        in_range = jnp.all((rel >= 0) & (rel <= 5), axis=0)
-
-        ws, ms = [], []
-        for ax in range(3):
-            w, m = _axis_weights(
-                cfg, pos[ax][None, :],
-                origin[ax].astype(dtype)[None, :], li[ax][None, :], dtype,
-            )
-            ws.append(w)
-            ms.append(m)
-        (wx, wy, wz), (mx, my, mz) = ws, ms           # [8, tile]
-
-        # --- G2P: contract z on the MXU, y/x on the VPU ---
-        vflat = arena_ref[0].reshape(3 * 64, 8)       # [(c, x, y), z]
-        gz = jnp.dot(vflat, wz, preferred_element_type=dtype, precision=_PREC)   # [192, tile]
-        gmz = jnp.dot(vflat, mz, preferred_element_type=dtype, precision=_PREC)
-        gz = gz.reshape(3, 8, 8, tile)                # c, x, y
-        gmz = gmz.reshape(3, 8, 8, tile)
-        wy_b = wy[None, None, :, :]
-        my_b = my[None, None, :, :]
-        gzy = jnp.sum(gz * wy_b, axis=2)              # [3, 8, tile] (c, x)
-        gzmy = jnp.sum(gz * my_b, axis=2)
-        gmzy = jnp.sum(gmz * wy_b, axis=2)
-        wx_b = wx[None, :, :]
-        mx_b = mx[None, :, :]
-        vel = jnp.sum(gzy * wx_b, axis=1)             # [3, tile]
-        col0 = jnp.sum(gzy * mx_b, axis=1)
-        col1 = jnp.sum(gzmy * wx_b, axis=1)
-        col2 = jnp.sum(gmzy * wx_b, axis=1)
-        cols = (col0, col1, col2)
-        a_soa = tuple(cols[c][r] for r in range(3) for c in range(3))
-
-        # --- material update (SoA component math on [tile] lanes) ---
-        fields = {}
-        for (name, w_), ref in zip(field_widths, field_refs):
-            fields[name] = ref[:] if w_ > 1 else ref[0, :]
-        new_fields, contrib = material.update(d_inv, dt, a_soa, fields)
-
-        new_pos = pos + vel * dt
-        out_pos_ref[:] = new_pos
-
-        q = tuple(
-            (av * mass - cv * next_dt) * d_inv for av, cv in zip(a_soa, contrib)
-        )
-
-        # --- P2G at the advected position, same arena ---
-        base2 = jnp.floor(new_pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
-        rel2 = base2 - origin
-        li2 = jnp.clip(rel2, 0, 5)
-        in_range2 = jnp.all((rel2 >= 0) & (rel2 <= 5), axis=0)
-        ok = (act_ref[0, :] > 0) & in_range & in_range2
-        out_act_ref[0, :] = ok.astype(jnp.int32)
-        for (name, w_), oref in zip(field_widths, out_field_refs):
-            v = new_fields[name]
-            if w_ > 1:
-                oref[:] = v
-            else:
-                oref[0, :] = v
-
-        ws2, ms2 = [], []
-        for ax in range(3):
-            w, m = _axis_weights(
-                cfg, new_pos[ax][None, :],
-                origin[ax].astype(dtype)[None, :], li2[ax][None, :], dtype,
-            )
-            ws2.append(w)
-            ms2.append(m)
-        (wx2, wy2, wz2), (mx2, my2, mz2) = ws2, ms2
-
-        okf = ok[None, :].astype(dtype)
-        velm = vel * mass
-        s0 = jnp.concatenate(
-            [jnp.full((1, tile), mass, dtype), velm], axis=0
-        ) * okf                                       # [4, tile]
-        zero = jnp.zeros((1, tile), dtype)
-        s1 = jnp.concatenate([zero, q[0][None], q[3][None], q[6][None]], 0) * okf
-        s2 = jnp.concatenate([zero, q[1][None], q[4][None], q[7][None]], 0) * okf
-        s3 = jnp.concatenate([zero, q[2][None], q[5][None], q[8][None]], 0) * okf
-        sv = jnp.concatenate([s0, s1, s2, s3], axis=1)   # [4, 4*tile]
-
-        ux = jnp.concatenate([wx2, mx2, wx2, wx2], axis=1)   # [8, 4*tile]
-        uy = jnp.concatenate([wy2, wy2, my2, wy2], axis=1)
-        uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=1)
-
         tv = key < n3
-        e = (ux[:, None, :] * uy[None, :, :]).reshape(64, 4 * tile)
-        r = (uz[:, None, :] * sv[None, :, :]).reshape(32, 4 * tile)
-        aout = jnp.dot(e, r.T, preferred_element_type=dtype, precision=_PREC)  # [64(x,y), 32(z,c)]
-        out_arena_ref[0] = jnp.where(tv, aout, 0.0)
+
+        def _compute():
+            pos = pos_ref[:]                          # [3, tile]
+            base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
+            kc = jnp.minimum(key, n3 - 1)
+            origin = (jnp.stack(
+                [kc // (g * g), (kc // g) % g, kc % g]
+            )[:, None] + cfg.arena_lo) * bs
+            rel = base - origin
+            li = jnp.clip(rel, 0, cells - 3)
+            in_range = jnp.all((rel >= 0) & (rel <= cells - 3), axis=0)
+
+            ws, ms = [], []
+            for ax in range(3):
+                w, m = _axis_weights(
+                    cfg, pos[ax][None, :],
+                    origin[ax].astype(dtype)[None, :], li[ax][None, :], dtype,
+                )
+                ws.append(w)
+                ms.append(m)
+            (wx, wy, wz), (mx, my, mz) = ws, ms       # [C, tile]
+
+            # --- G2P: contract z on the MXU, y/x on the VPU ---
+            vflat = arena_ref[0].reshape(3 * cells * cells, cells)
+            gz = jnp.dot(vflat, wz, preferred_element_type=dtype,
+                         precision=_PREC)
+            gmz = jnp.dot(vflat, mz, preferred_element_type=dtype,
+                          precision=_PREC)
+            gz = gz.reshape(3, cells, cells, tile)    # c, x, y
+            gmz = gmz.reshape(3, cells, cells, tile)
+            wy_b = wy[None, None, :, :]
+            my_b = my[None, None, :, :]
+            gzy = jnp.sum(gz * wy_b, axis=2)          # (c, x)
+            gzmy = jnp.sum(gz * my_b, axis=2)
+            gmzy = jnp.sum(gmz * wy_b, axis=2)
+            wx_b = wx[None, :, :]
+            mx_b = mx[None, :, :]
+            vel = jnp.sum(gzy * wx_b, axis=1)         # [3, tile]
+            col0 = jnp.sum(gzy * mx_b, axis=1)
+            col1 = jnp.sum(gzmy * wx_b, axis=1)
+            col2 = jnp.sum(gmzy * wx_b, axis=1)
+            cols = (col0, col1, col2)
+            a_soa = tuple(cols[c][r] for r in range(3) for c in range(3))
+
+            # --- material update (SoA component math on [tile] lanes) ---
+            fields = {}
+            for (name, w_), ref in zip(field_widths, field_refs):
+                fields[name] = ref[:] if w_ > 1 else ref[0, :]
+            new_fields, contrib = material.update(d_inv, dt, a_soa, fields)
+
+            new_pos = pos + vel * dt
+            out_pos_ref[:] = new_pos
+
+            q = tuple(
+                (av * mass - cv * next_dt) * d_inv
+                for av, cv in zip(a_soa, contrib)
+            )
+
+            # --- P2G at the advected position, same arena ---
+            base2 = jnp.floor(new_pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
+            rel2 = base2 - origin
+            li2 = jnp.clip(rel2, 0, cells - 3)
+            in_range2 = jnp.all((rel2 >= 0) & (rel2 <= cells - 3), axis=0)
+            ok = (act_ref[0, :] > 0) & in_range & in_range2
+            out_act_ref[0, :] = ok.astype(jnp.int32)
+            for (name, w_), oref in zip(field_widths, out_field_refs):
+                v = new_fields[name]
+                if w_ > 1:
+                    oref[:] = v
+                else:
+                    oref[0, :] = v
+
+            ws2, ms2 = [], []
+            for ax in range(3):
+                w, m = _axis_weights(
+                    cfg, new_pos[ax][None, :],
+                    origin[ax].astype(dtype)[None, :], li2[ax][None, :], dtype,
+                )
+                ws2.append(w)
+                ms2.append(m)
+            (wx2, wy2, wz2), (mx2, my2, mz2) = ws2, ms2
+
+            okf = ok[None, :].astype(dtype)
+            velm = vel * mass
+            s0 = jnp.concatenate(
+                [jnp.full((1, tile), mass, dtype), velm], axis=0
+            ) * okf                                   # [4, tile]
+            zero = jnp.zeros((1, tile), dtype)
+            s1 = jnp.concatenate(
+                [zero, q[0][None], q[3][None], q[6][None]], 0) * okf
+            s2 = jnp.concatenate(
+                [zero, q[1][None], q[4][None], q[7][None]], 0) * okf
+            s3 = jnp.concatenate(
+                [zero, q[2][None], q[5][None], q[8][None]], 0) * okf
+            sv = jnp.concatenate([s0, s1, s2, s3], axis=1)   # [4, 4*tile]
+
+            ux = jnp.concatenate([wx2, mx2, wx2, wx2], axis=1)
+            uy = jnp.concatenate([wy2, wy2, my2, wy2], axis=1)
+            uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=1)
+
+            e = (ux[:, None, :] * uy[None, :, :]).reshape(
+                cells * cells, 4 * tile)
+            r = (uz[:, None, :] * sv[None, :, :]).reshape(
+                cells * 4, 4 * tile)
+            aout = jnp.dot(e, r.T, preferred_element_type=dtype,
+                           precision=_PREC)
+            out_arena_ref[0] = aout                   # [(x,y), (z,c)]
+
+        def _dead_tile():
+            # padding tile: no transfer work; outputs must stay well-defined
+            out_arena_ref[0] = jnp.zeros_like(out_arena_ref[0])
+            out_act_ref[0, :] = jnp.zeros_like(out_act_ref[0, :])
+            out_pos_ref[:] = pos_ref[:]
+            for (_name, w_), oref, iref in zip(field_widths, out_field_refs,
+                                               field_refs):
+                oref[:] = iref[:]
+
+        pl.when(tv)(_compute)
+        pl.when(jnp.logical_not(tv))(_dead_tile)
 
     return kernel
 
@@ -248,8 +276,9 @@ def g2p2g_pallas(
     kernel = _make_kernel(cfg, material, tile, field_widths)
 
     smap = lambda t, *pref: (0, t)
+    _cc = cfg.arena_cells
     in_specs = [
-        pl.BlockSpec((1, 3, 8, 8, 8), lambda t, *pref: (t, 0, 0, 0, 0),
+        pl.BlockSpec((1, 3, _cc, _cc, _cc), lambda t, *pref: (t, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, tile), smap, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile), smap, memory_space=pltpu.VMEM),
@@ -267,13 +296,14 @@ def g2p2g_pallas(
         inputs.append(v if v.ndim > 1 else v[None, :])
 
     s_cap = model.pos.shape[1]
+    cc = cfg.arena_cells
     out_shapes = [
         jax.ShapeDtypeStruct((3, s_cap), jnp.float32),               # pos
-        jax.ShapeDtypeStruct((num_tiles, 64, 32), jnp.float32),      # arenas
+        jax.ShapeDtypeStruct((num_tiles, cc * cc, cc * 4), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((3, tile), smap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 64, 32), lambda t, *pref: (t, 0, 0),
+        pl.BlockSpec((1, cc * cc, cc * 4), lambda t, *pref: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for k, w in field_widths:

@@ -127,7 +127,8 @@ class HaloComm:
         return pool.at[self.cfg.null_block].set(0.0)
 
     # -- particle migration -------------------------------------------
-    def migrate(self, models: List[ParticleModel], materials) -> List[ParticleModel]:
+    def migrate(self, models: List[ParticleModel], materials,
+                enable=True) -> List[ParticleModel]:
         _, x0, x1 = self._bounds()
         cfg = self.cfg
         k = self.mig_cap
@@ -141,8 +142,8 @@ class HaloComm:
             active = model.active
             payloads = {}
             for name, cond, perm in (
-                ("left", active & (hbx < x0), perm_l),
-                ("right", active & (hbx >= x1), perm_r),
+                ("left", active & (hbx < x0) & enable, perm_l),
+                ("right", active & (hbx >= x1) & enable, perm_r),
             ):
                 (idx,) = jnp.nonzero(cond, size=k, fill_value=p)
                 valid = idx < p

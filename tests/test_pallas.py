@@ -9,9 +9,11 @@ import claymore_tpu as cmt
 from claymore_tpu.io.sampler import sample_uniform_box_world
 
 
-@pytest.mark.parametrize("mat_name", ["fixed_corotated", "jfluid"])
-def test_pallas_matches_xla(mat_name):
-    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
+@pytest.mark.parametrize("mat_name,k", [("fixed_corotated", 1), ("jfluid", 1),
+                                        ("fixed_corotated", 4)])
+def test_pallas_matches_xla(mat_name, k):
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4,
+                        rebucket_every=k)
     if mat_name == "fixed_corotated":
         mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
     else:
