@@ -137,7 +137,10 @@ def load_scene(path: str, tile_chunk: int = 32) -> Scene:
         _build_collider(c, cfg) for c in doc.get("colliders", [])
     ]
 
+    import jax
+
     device = doc.get("device", {})
+    use_pallas = device.get("use_pallas", jax.default_backend() == "tpu")
     if device.get("n_devices", 1) > 1:
         from ..parallel.multi import MultiChipEngine
 
@@ -145,9 +148,10 @@ def load_scene(path: str, tile_chunk: int = 32) -> Scene:
             cfg, materials, n_devices=device["n_devices"],
             halo_margin=device.get("halo_margin", 1),
             colliders=colliders, tile_chunk=tile_chunk,
+            use_pallas=use_pallas,
         )
     else:
         engine = MPMEngine(cfg, materials, colliders=colliders,
-                           tile_chunk=tile_chunk)
+                           tile_chunk=tile_chunk, use_pallas=use_pallas)
     state = engine.init_state(positions, velocities)
     return Scene(cfg, engine, state, frames, materials, positions)

@@ -195,6 +195,7 @@ class MultiChipEngine:
         colliders: Sequence = (),
         tile_chunk: int = 32,
         particle_capacity_factor: float = 1.5,
+        use_pallas=False,
     ):
         if mesh is None:
             devs = jax.devices()[: (n_devices or len(jax.devices()))]
@@ -207,6 +208,7 @@ class MultiChipEngine:
         self.colliders = tuple(colliders)
         self.tile_chunk = tile_chunk
         self.capacity_factor = particle_capacity_factor
+        self.use_pallas = use_pallas
         self.comm = HaloComm(cfg, axis, self.n_dev, halo_margin, migration_capacity)
         self._num_tiles: List[int] = []
         self._pcaps: List[int] = []
@@ -299,7 +301,7 @@ class MultiChipEngine:
         spec = self._out_state_spec()
         fn = functools.partial(
             engine_mod.substep_impl, self.cfg, self.materials, self.colliders,
-            self.tile_chunk, comm=self.comm,
+            self.tile_chunk, comm=self.comm, use_pallas=self.use_pallas,
         )
         return jax.jit(
             jax.shard_map(

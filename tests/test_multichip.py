@@ -90,3 +90,22 @@ def test_migration_across_boundary():
     assert p[:, 0].mean() > 0.47  # moved in +x
     dm = multi.diagnostics(sm)
     assert abs(dm["grid_mass"] - n * mat.mass) < 1e-3 * n * mat.mass
+
+
+def test_multichip_pallas_interpret_matches_xla():
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=128, default_dt=5e-4)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos = sample_uniform_box_world(cfg.dx, [0.35] * 3, [0.6] * 3, cfg.ppc)
+    e1 = MultiChipEngine(cfg, [mat], n_devices=4, tile_chunk=4)
+    e2 = MultiChipEngine(cfg, [mat], n_devices=4, tile_chunk=4,
+                         use_pallas="interpret")
+    s1 = e1.init_state([pos], [(0.3, -0.2, 0.0)])
+    s2 = e2.init_state([pos], [(0.3, -0.2, 0.0)])
+    for _ in range(3):
+        s1 = e1.substep(s1, jnp.float32(1.0))
+        s2 = e2.substep(s2, jnp.float32(1.0))
+    p1, p2 = e1.get_positions(s1), e2.get_positions(s2)
+    assert p1.shape == p2.shape
+    k1 = np.lexsort(p1.T)
+    k2 = np.lexsort(p2.T)
+    assert np.max(np.abs(p1[k1] - p2[k2])) < 1e-6
