@@ -316,6 +316,29 @@ class MultiChipEngine:
             self._substep_fn = self._build_substep()
         return self._substep_fn
 
+    def run_steps(self, state: SimState, n: int, frame_end) -> SimState:
+        """n substeps in one sharded device program (single dispatch)."""
+        if getattr(self, "_run_steps_fn", None) is None:
+            spec = self._out_state_spec()
+            fn = functools.partial(
+                engine_mod.substep_impl, self.cfg, self.materials,
+                self.colliders, self.tile_chunk, comm=self.comm,
+                use_pallas=self.use_pallas,
+            )
+
+            def loop(st, fe, n_):
+                return jax.lax.fori_loop(0, n_, lambda i, s: fn(s, fe), st)
+
+            self._run_steps_fn = jax.jit(
+                jax.shard_map(loop, mesh=self.mesh,
+                              in_specs=(spec, P(), P()), out_specs=spec,
+                              check_vma=False),
+                static_argnums=(),
+            )
+        import jax.numpy as _jnp
+        return self._run_steps_fn(state, _jnp.float32(frame_end),
+                                  _jnp.int32(n))
+
     def run_frame(self, state: SimState, frame_end) -> SimState:
         frame_end = jnp.float32(frame_end)
         while float(state.t) < float(frame_end) - 1e-9:

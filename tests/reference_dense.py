@@ -47,6 +47,35 @@ def fixed_corotated_contrib(f, e, nu, volume):
     return p @ f.T * volume
 
 
+def sand_update(f, log_jp, mat):
+    """Drucker-Prager projection + StvkHencky stress, float64
+    (independent re-derivation of constitutive_models.cuh:239-335)."""
+    lam = mat.e * mat.nu / ((1 + mat.nu) * (1 - 2 * mat.nu))
+    mu = mat.e / (2 * (1 + mat.nu))
+    u, sv, v = signed_svd3(f)
+    eps = np.log(np.maximum(np.abs(sv), 1e-4)) - mat.cohesion
+    sum_eps = eps.sum()
+    trace_eps = sum_eps + log_jp
+    eps_hat = eps - trace_eps / 3.0
+    hat_norm = np.linalg.norm(eps_hat)
+    if trace_eps >= 0.0:
+        new_s = np.full(3, np.exp(mat.cohesion))
+        new_log_jp = mat.beta * sum_eps + log_jp if mat.volume_correction else log_jp
+    else:
+        new_log_jp = 0.0
+        dg = hat_norm + (3 * lam + 2 * mu) / (2 * mu) * trace_eps * mat.yield_surface
+        if dg <= 0:
+            h = eps + mat.cohesion
+        else:
+            h = eps - dg / max(hat_norm, 1e-20) * eps_hat + mat.cohesion
+        new_s = np.exp(h)
+    f_new = u @ np.diag(new_s) @ v.T
+    log_s = np.log(new_s)
+    p_hat = (2 * mu * log_s + lam * log_s.sum()) / new_s
+    p = u @ np.diag(p_hat) @ v.T
+    return f_new, new_log_jp, p @ f_new.T * mat.volume
+
+
 def jfluid_contrib(jdet, a, d_inv, volume, bulk, gamma, viscosity):
     voln = jdet * volume
     pressure = bulk * (jdet ** (-gamma) - 1.0)
@@ -140,6 +169,11 @@ class DenseMPM:
                     jd, amat, d_inv, mat.volume, mat.bulk, mat.gamma, mat.viscosity
                 )
                 new_fields["J"][p] = jd
+            elif mat.name == "sand":
+                f = (np.eye(3) + dt * d_inv * amat) @ fields["F"][p]
+                f, ljp, contrib = sand_update(f, fields["logJp"][p], mat)
+                new_fields["F"][p] = f
+                new_fields["logJp"][p] = ljp
             else:
                 raise NotImplementedError(mat.name)
 

@@ -109,3 +109,21 @@ def test_multichip_pallas_interpret_matches_xla():
     k1 = np.lexsort(p1.T)
     k2 = np.lexsort(p2.T)
     assert np.max(np.abs(p1[k1] - p2[k2])) < 1e-6
+
+
+def test_multichip_run_steps_device_loop():
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=128, default_dt=5e-4)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos = sample_uniform_box_world(cfg.dx, [0.35] * 3, [0.6] * 3, cfg.ppc)
+    eng = MultiChipEngine(cfg, [mat], n_devices=4, tile_chunk=4)
+    s0 = eng.init_state([pos], [(0.3, -0.2, 0.0)])
+    s_loop = eng.run_steps(s0, 3, 1.0)
+    s_seq = s0
+    for _ in range(3):
+        s_seq = eng.substep(s_seq, jnp.float32(1.0))
+    p1 = eng.get_positions(s_loop)
+    p2 = eng.get_positions(s_seq)
+    k1 = np.lexsort(p1.T)
+    k2 = np.lexsort(p2.T)
+    assert p1.shape == p2.shape
+    assert np.max(np.abs(p1[k1] - p2[k2])) < 1e-7
