@@ -76,6 +76,61 @@ def sand_update(f, log_jp, mat):
     return f_new, new_log_jp, p @ f_new.T * mat.volume
 
 
+def nacc_update(f, log_jp, mat):
+    """NACC projection + hardening + elasticity, float64 (independent
+    re-derivation of constitutive_models.cuh:78-234, Josh-fracture solve)."""
+    mu = mat.e / (2 * (1 + mat.nu))
+    bm, xi, beta, msqr = mat.bm, mat.xi, mat.beta, mat.msqr
+    u, sv, v = signed_svd3(f)
+    p0 = bm * (1e-5 + np.sinh(xi * max(-log_jp, 0.0)))
+    p_min = -beta * p0
+    je = sv[0] * sv[1] * sv[2]
+    b_hat = sv * sv
+    tr3 = b_hat.sum() / 3.0
+    s_hat = mu * je ** (-2.0 / 3.0) * (b_hat - tr3)
+    p_trial = -bm * 0.5 * (je - 1.0 / je) * je
+    ys_half = 1.5 * (1 + 2 * beta)
+    yp_half = msqr * (p_trial - p_min) * (p_trial - p0)
+    s_sqr = (s_hat ** 2).sum()
+    y = ys_half * s_sqr + yp_half
+    new_log_jp = log_jp
+    new_s = sv.copy()
+    if p_trial > p0 or p_trial < p_min:
+        p_tip = p0 if p_trial > p0 else p_min
+        je_new = np.sqrt(max(-2 * p_tip / bm + 1.0, 1e-12))
+        new_s[:] = je_new ** (1.0 / 3.0)
+        if mat.hardening_on:
+            new_log_jp = log_jp + np.log(je / je_new)
+    elif y >= 1e-4:
+        b_coeff = (je ** (2.0 / 3.0) / mu * np.sqrt(max(-yp_half, 0.0) / ys_half)
+                   / np.sqrt(max(s_sqr, 1e-20)))
+        new_s = np.sqrt(np.maximum(s_hat * b_coeff + tr3, 1e-12))
+        if (mat.hardening_on and p0 > 1e-4 and p_trial < p0 - 1e-4
+                and p_trial > 1e-4 + p_min):
+            p_center = (1 - beta) * p0 / 2
+            q_trial = np.sqrt(1.5 * s_sqr)
+            d0, d1 = p_center - p_trial, -q_trial
+            dn = np.sqrt(d0 * d0 + d1 * d1)
+            d0, d1 = d0 / dn, d1 / dn
+            cc = msqr * (p_center - p_min) * (p_center - p0)
+            bb = msqr * d0 * (2 * p_center - p0 - p_min)
+            aa = msqr * d0 * d0 + (1 + 2 * beta) * d1 * d1
+            disc = np.sqrt(max(bb * bb - 4 * aa * cc, 0.0))
+            l1, l2 = (-bb + disc) / (2 * aa), (-bb - disc) / (2 * aa)
+            p1, p2 = p_center + l1 * d0, p_center + l2 * d0
+            p_fake = p1 if (p_trial - p_center) * (p1 - p_center) > 0 else p2
+            je_fake = np.sqrt(abs(-2 * p_fake / bm + 1.0))
+            if je_fake > 1e-4:
+                new_log_jp = log_jp + np.log(je / je_fake)
+    f_new = u @ np.diag(new_s) @ v.T
+    jd = new_s[0] * new_s[1] * new_s[2]
+    b = f_new @ f_new.T
+    b_dev = b - np.trace(b) / 3.0 * np.eye(3)
+    dev_c = mu * max(jd, 1e-12) ** (-2.0 / 3.0)
+    i_c = bm * 0.5 * ((jd * jd - 1.0) * 0.5 - np.log(max(jd, 1e-12)))
+    return f_new, new_log_jp, (dev_c * b_dev + i_c * np.eye(3)) * mat.volume
+
+
 def jfluid_contrib(jdet, a, d_inv, volume, bulk, gamma, viscosity):
     voln = jdet * volume
     pressure = bulk * (jdet ** (-gamma) - 1.0)
@@ -172,6 +227,11 @@ class DenseMPM:
             elif mat.name == "sand":
                 f = (np.eye(3) + dt * d_inv * amat) @ fields["F"][p]
                 f, ljp, contrib = sand_update(f, fields["logJp"][p], mat)
+                new_fields["F"][p] = f
+                new_fields["logJp"][p] = ljp
+            elif mat.name == "nacc":
+                f = (np.eye(3) + dt * d_inv * amat) @ fields["F"][p]
+                f, ljp, contrib = nacc_update(f, fields["logJp"][p], mat)
                 new_fields["F"][p] = f
                 new_fields["logJp"][p] = ljp
             else:

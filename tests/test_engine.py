@@ -35,13 +35,15 @@ def small_setup(material, n_lo=0.45, n_hi=0.6, v0=(0.2, -0.3, 0.1)):
     return cfg, eng, pos, state
 
 
-@pytest.mark.parametrize("mat_name", ["fixed_corotated", "jfluid", "sand"])
+@pytest.mark.parametrize("mat_name", ["fixed_corotated", "jfluid", "sand", "nacc"])
 def test_substep_matches_dense_reference(mat_name):
     cfg0 = cmt.SimConfig(domain_bits=5)
     if mat_name == "fixed_corotated":
         mat = cmt.FixedCorotated(volume=cfg0.default_volume(), e=1e4, nu=0.3)
     elif mat_name == "sand":
         mat = cmt.Sand(volume=cfg0.default_volume(), e=1e4, nu=0.3, rho=1500.0)
+    elif mat_name == "nacc":
+        mat = cmt.NACC(volume=cfg0.default_volume(), e=1e4, nu=0.3)
     else:
         mat = cmt.JFluid(volume=cfg0.default_volume())
     cfg, eng, pos, state = small_setup(mat)
