@@ -18,6 +18,13 @@ from .models.materials import (
     NACC,
     Sand,
 )
+from .models.boundary import (
+    Box,
+    HalfSpace,
+    RigidMotion,
+    SignedDistanceCollider,
+    Sphere,
+)
 
 __version__ = "0.1.0"
 
@@ -34,4 +41,16 @@ __all__ = [
     "JFluid",
     "Sand",
     "NACC",
+    "Box",
+    "HalfSpace",
+    "RigidMotion",
+    "SignedDistanceCollider",
+    "Sphere",
 ]
+
+
+def load_scene(path: str, **kw):
+    """Claymore-compatible JSON scene -> (engine, state) bundle."""
+    from .io.scene import load_scene as _ls
+
+    return _ls(path, **kw)
