@@ -52,6 +52,12 @@ def build(scene: str, quick: bool):
             cfg.dx, [0.4, 0.1, 0.4], [0.4 + span, 0.1 + 2 * span, 0.4 + span],
             cfg.ppc)]
         v0s = [(0.0, 0.0, 0.0)]
+    elif scene == "nacc":
+        mats = [cmt.NACC(volume=vol, e=1e4)]
+        parts = [sample_uniform_box_world(
+            cfg.dx, [0.4, 0.1, 0.4], [0.4 + span, 0.1 + 2 * span, 0.4 + span],
+            cfg.ppc)]
+        v0s = [(0.0, 0.0, 0.0)]
     elif scene == "multimat":
         h = span / 2
         mats = [
