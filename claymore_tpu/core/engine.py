@@ -11,8 +11,7 @@ function, and whole frames run on device under ``lax.while_loop``.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ from ..models.materials import Material
 from . import grid as grid_ops
 from . import partition as part
 from . import transfer
-from .types import Partition, ParticleModel, SimState, TileMap
+from .types import Partition, ParticleModel, SimState
 
 
 def empty_partition(cfg: SimConfig) -> Partition:

@@ -10,13 +10,11 @@ continues bit-for-bit from where it stopped.
 from __future__ import annotations
 
 import os
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import Partition, ParticleModel, SimState, TileMap
+from ..core.types import SimState
 
 _FORMAT_VERSION = 1
 

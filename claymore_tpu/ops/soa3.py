@@ -15,7 +15,7 @@ convention: U, V proper rotations, s2 carries sign(det A).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

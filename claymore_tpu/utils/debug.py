@@ -46,7 +46,6 @@ def check_tiles(cfg: SimConfig, state: SimState, model_idx: int = 0) -> None:
     """Slot-major invariants: no duplicate particle ids, no dropped
     particles, and every active slot's home block matches its tile."""
     from ..core.partition import home_block, lookup
-    import jax.numpy as jnp
 
     m = state.models[model_idx]
     tm = m.tiles
