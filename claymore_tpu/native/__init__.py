@@ -49,7 +49,14 @@ def load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
-            return None
+            # stale/ABI-incompatible binary (e.g. restored without mtimes):
+            # rebuild from source once before giving up
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
         lib.cm_write_bgeo.restype = ctypes.c_int
         lib.cm_write_bgeo.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
