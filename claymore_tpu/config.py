@@ -44,6 +44,11 @@ class SimConfig:
     # --- stepping ---
     default_dt: float = 1e-4
     fps: int = 24
+    # hard cap on substeps per on-device frame loop (backstop so run_frame's
+    # lax.while_loop terminates in bounded time even under pathological dt;
+    # the reference aborts via its host-side NaN readback,
+    # gmpm_simulator.cuh:355-358)
+    max_substeps_per_frame: int = 1_000_000
 
     # --- lazy rebucketing ---
     # Rebuild buckets/partition every K substeps instead of every substep

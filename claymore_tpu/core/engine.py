@@ -87,6 +87,7 @@ def init_impl(
         max_vel=jnp.float32(0.0),
         t=jnp.float32(0.0),
         step=jnp.int32(0),
+        mig_dropped=jnp.zeros((1,), jnp.int32),
     )
 
 
@@ -149,15 +150,18 @@ def substep_impl(
 
     extra_mask = None
     halo_slabs = None
+    mig_dropped = state.mig_dropped
     if comm is not None:
         halo_slabs = comm.exchange_halo(next_pool, state.partition)
         # migration only takes effect on rebuild steps (migrants would sit
         # untiled otherwise); collectives run unconditionally, payload-masked
-        new_models = comm.migrate(new_models, materials, enable=do_rebuild)
+        new_models, mig_drop = comm.migrate(new_models, materials,
+                                            enable=do_rebuild)
+        mig_dropped = mig_dropped + mig_drop
         extra_mask = comm.halo_mass_mask(halo_slabs)
 
-    def _rebuild(ops):
-        pool, models = ops
+    def _plan(models):
+        """Fresh tile plan: sort + slot permutation per model."""
         permuted, tile_keys, droppeds = [], [], []
         for m in models:
             plan = part.plan_tiles(cfg, m.pos, m.active, m.tiles.block.shape[0])
@@ -165,22 +169,60 @@ def substep_impl(
             permuted.append(pm)
             tile_keys.append(part.tile_keys_from_slots(cfg, key_perm, plan.valid))
             droppeds.append(plan.dropped)
-        partition, pool = part.rebuild(
-            cfg, pool, state.partition, tuple(tile_keys), extra_mask=extra_mask,
-        )
-        models = tuple(
-            pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
-            for pm, tk, dr in zip(permuted, tile_keys, droppeds)
-        )
-        return partition, pool, models
+        return tuple(permuted), tuple(tile_keys), tuple(droppeds)
 
-    def _skip(ops):
-        pool, models = ops
-        return state.partition, pool, tuple(models)
+    def _stale(models):
+        """Keep the current slot layout; reuse each tile's home-block key."""
+        n3 = cfg.grid_size ** 3
+        tile_keys = tuple(
+            jnp.where(m.tiles.tvalid, part.flatten_key(cfg, m.tiles.bcoord), n3)
+            .astype(jnp.int32)
+            for m in models
+        )
+        droppeds = tuple(m.tiles.dropped for m in models)
+        return tuple(models), tile_keys, droppeds
 
     if k_every == 1:
-        partition, next_pool, new_models = _rebuild((next_pool, new_models))
+        new_models, tile_keys, droppeds = _plan(tuple(new_models))
+        partition, next_pool = part.rebuild(
+            cfg, next_pool, state.partition, tile_keys, extra_mask=extra_mask,
+        )
+        new_models = tuple(
+            pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
+            for pm, tk, dr in zip(new_models, tile_keys, droppeds)
+        )
+    elif comm is not None:
+        # Multi-chip lazy rebucketing: the PARTITION must still track this
+        # substep's halo mass every substep — otherwise add_halo would zero
+        # neighbor contributions through the null block on skip substeps
+        # (mass loss).  Only the particle sort/permutation is amortized.
+        new_models, tile_keys, droppeds = jax.lax.cond(
+            do_rebuild, _plan, _stale, tuple(new_models)
+        )
+        partition, next_pool = part.rebuild(
+            cfg, next_pool, state.partition, tile_keys, extra_mask=extra_mask,
+        )
+        new_models = tuple(
+            pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
+            for pm, tk, dr in zip(new_models, tile_keys, droppeds)
+        )
     else:
+        def _rebuild(ops):
+            pool, models = ops
+            models, tile_keys, droppeds = _plan(models)
+            partition, pool = part.rebuild(
+                cfg, pool, state.partition, tile_keys, extra_mask=extra_mask,
+            )
+            models = tuple(
+                pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
+                for pm, tk, dr in zip(models, tile_keys, droppeds)
+            )
+            return partition, pool, models
+
+        def _skip(ops):
+            pool, models = ops
+            return state.partition, pool, tuple(models)
+
         partition, next_pool, new_models = jax.lax.cond(
             do_rebuild, _rebuild, _skip, (next_pool, tuple(new_models))
         )
@@ -196,6 +238,7 @@ def substep_impl(
         max_vel=jnp.sqrt(max_vel_sqr),
         t=t_after,
         step=state.step + 1,
+        mig_dropped=mig_dropped,
     )
 
 
@@ -286,11 +329,18 @@ class MPMEngine:
 
     def _run_frame(self, state: SimState, frame_end: jnp.ndarray) -> SimState:
         """All substeps of one frame on device (no host round trips; the
-        reference syncs max-vel to host every substep, gmpm_simulator.cuh:344)."""
+        reference syncs max-vel to host every substep, gmpm_simulator.cuh:344).
+
+        The loop exits when t reaches frame_end, when a divergence poisons
+        t to NaN (compute_dt maps non-finite max_vel to dt=NaN), or at the
+        config's substep cap — never hangs on device."""
         eps = 1e-9
+        step0 = state.step
 
         def cond(s):
-            return s.t < frame_end - eps
+            return (s.t < frame_end - eps) & (
+                s.step - step0 < self.cfg.max_substeps_per_frame
+            )
 
         def body(s):
             return self._substep(s, frame_end)
@@ -301,13 +351,49 @@ class MPMEngine:
         )
         return jax.lax.while_loop(cond, body, state)
 
-    def run(self, state: SimState, frames: int, on_frame=None) -> SimState:
+    def check_health(self, state: SimState, strict: bool = True) -> None:
+        """Raise (or warn) on divergence and silent-loss counters — the
+        loud-failure analogue of the reference's abort-on-overflow checks
+        (gmpm_simulator.cuh:355-358, 473-476, 521-524)."""
+        import warnings
+
+        t = float(state.t)
+        if not np.isfinite(t) or not np.isfinite(float(state.max_vel)):
+            raise FloatingPointError(
+                f"simulation diverged: t={t}, max_vel={float(state.max_vel)} "
+                f"at step {int(state.step)} (NaN/inf velocity — reduce dt or "
+                "stiffness)"
+            )
+        msgs = []
+        if int(state.partition.overflow[0]) > 0:
+            msgs.append(
+                f"partition overflow: {int(state.partition.overflow[0])} active "
+                "blocks beyond max_active_blocks"
+            )
+        for i, m in enumerate(state.models):
+            d = int(m.tiles.dropped[0])
+            if d > 0:
+                msgs.append(f"model {i}: {d} particles dropped (tile capacity)")
+        md = int(np.asarray(state.mig_dropped).sum())
+        if md > 0:
+            msgs.append(f"{md} particles lost to migration capacity")
+        if msgs:
+            msg = "; ".join(msgs) + " — increase capacities in SimConfig"
+            if strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+
+    def run(self, state: SimState, frames: int, on_frame=None,
+            check_health: bool = True) -> SimState:
         """Frame loop (reference main_loop, gmpm_simulator.cuh:303-591)."""
         frame_dt = self.cfg.frame_dt()
         t0 = float(state.t)
         for f in range(frames):
             frame_end = jnp.float32(t0 + (f + 1) * frame_dt)
             state = self.run_frame(state, frame_end)
+            if check_health:
+                # raises FloatingPointError on divergence, warns on counters
+                self.check_health(state, strict=False)
             if on_frame is not None:
                 on_frame(f, state)
         return state
@@ -356,6 +442,7 @@ class MPMEngine:
             "active_blocks": int(state.partition.count[0]),
             "block_overflow": int(state.partition.overflow[0]),
             "null_block_mass": float(jnp.sum(jnp.abs(state.grid[cfg.null_block, 0]))),
+            "migration_dropped": int(np.asarray(state.mig_dropped).sum()),
             "t": float(state.t),
             "dt": float(state.dt),
             "step": int(state.step),

@@ -83,11 +83,19 @@ def compute_dt(
     cur_time: jnp.ndarray,
     next_time: jnp.ndarray,
 ) -> jnp.ndarray:
-    """CFL-limited step size (reference compute_dt, utility_funcs.hpp:36-49)."""
+    """CFL-limited step size (reference compute_dt, utility_funcs.hpp:36-49).
+
+    A non-finite max velocity (NaN mapped to inf by grid_update) poisons dt
+    to NaN so ``t`` leaves every on-device frame loop in one more substep and
+    the divergence surfaces on host — the TPU-native version of the
+    reference's NaN bailout (gmpm_simulator.cuh:355-358), which reads max_vel
+    back each substep and exits the sim loop.
+    """
     max_vel = jnp.sqrt(max_vel_sqr)
     dt = jnp.asarray(cfg.default_dt, jnp.float32)
     dt = jnp.where(
         max_vel > 0.0, jnp.minimum(dt, cfg.dx * cfg.cfl / jnp.maximum(max_vel, 1e-30)), dt
     )
     dt = jnp.minimum(dt, jnp.maximum(next_time - cur_time, 0.0))
+    dt = jnp.where(jnp.isfinite(max_vel), dt, jnp.nan)
     return dt

@@ -158,7 +158,7 @@ def g2p2g_model(
         arena = _arena_from_slots(cfg, carry[1], nb_slot)
 
         origin = ((bcoord + cfg.arena_lo) * cfg.block_size)[:, :, None]
-        w, mvec, _ = _bspline_onehot(cfg, pos, origin)
+        w, mvec, in_range_pre = _bspline_onehot(cfg, pos, origin)
         (wx, wy, wz), (mx, my, mz) = w, mvec              # [ct, C, tile]
 
         vgrid = arena[:, 1:4]                             # [ct, 3, 8, 8, 8]
@@ -194,8 +194,11 @@ def g2p2g_model(
         )
 
         # --- P2G at the advected position, same arena ---
+        # a particle outside the arena pre-advection gathered with clipped
+        # (wrong) weights, so it must not scatter either (matches the Pallas
+        # kernel's in_range & in_range2 gate, ops/pallas_g2p2g.py)
         w2, m2, in_range = _bspline_onehot(cfg, new_pos, origin)
-        ok = valid & in_range
+        ok = valid & in_range_pre & in_range
         (wx2, wy2, wz2), (mx2, my2, mz2) = w2, m2
 
         okf = ok[:, None, :].astype(pos.dtype)            # [ct, 1, tile]

@@ -68,3 +68,5 @@ class SimState(NamedTuple):
     max_vel: jnp.ndarray          # f32[]
     t: jnp.ndarray                # f32[]
     step: jnp.ndarray             # i32[]
+    mig_dropped: jnp.ndarray      # i32[1]; particles lost to migration
+    # capacity overflow, cumulative (multi-chip only; diagnostic)

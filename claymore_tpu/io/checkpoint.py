@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core.types import SimState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: SimState gained the mig_dropped counter leaf
 
 
 def save_state(path: str, state: SimState) -> None:

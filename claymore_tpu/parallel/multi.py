@@ -127,8 +127,17 @@ class HaloComm:
         return pool.at[self.cfg.null_block].set(0.0)
 
     # -- particle migration -------------------------------------------
-    def migrate(self, models: List[ParticleModel], materials,
-                enable=True) -> List[ParticleModel]:
+    def migrate(self, models: List[ParticleModel], materials, enable=True):
+        """Ship slab-crossing particles to their neighbor shard.
+
+        Returns (models, dropped) with ``dropped`` an i32[1] count of
+        particles LOST this substep: senders beyond ``migration_capacity``
+        (which would keep simulating on the wrong shard and can scatter
+        outside the halo window) and received particles with no free
+        destination lane.  The caller accumulates it into
+        ``SimState.mig_dropped`` so the loss is loud (reference analogue:
+        the capacity aborts, gmpm_simulator.cuh:473-476).
+        """
         _, x0, x1 = self._bounds()
         cfg = self.cfg
         k = self.mig_cap
@@ -136,6 +145,7 @@ class HaloComm:
         perm_r = [(j, j + 1) for j in range(n - 1)]
         perm_l = [(j + 1, j) for j in range(n - 1)]
         out = []
+        dropped = jnp.zeros((1,), jnp.int32)
         for model in models:
             p = model.pos.shape[1]
             hbx = part.home_block(cfg, model.pos)[0]
@@ -147,6 +157,11 @@ class HaloComm:
             ):
                 (idx,) = jnp.nonzero(cond, size=k, fill_value=p)
                 valid = idx < p
+                # senders beyond capacity stay resident on the wrong shard:
+                # deactivate AND count them (they must not keep scattering)
+                want = jnp.sum(cond, dtype=jnp.int32)
+                got = jnp.sum(valid, dtype=jnp.int32)
+                dropped = dropped + (want - got).reshape(1)
                 gidx = jnp.minimum(idx, p - 1)
                 payload = {
                     "pos": model.pos[:, gidx],
@@ -157,17 +172,19 @@ class HaloComm:
                 payloads[name] = jax.tree.map(
                     lambda x: jax.lax.ppermute(x, self.axis, perm), payload
                 )
-                # deactivate the lanes we actually shipped
-                sent = jnp.zeros((p + 1,), jnp.bool_).at[idx].set(
-                    valid, mode="drop"
-                )[:p]
-                active = active & ~sent
+                # deactivate every lane that wants to leave (shipped or not —
+                # unshipped crossers are counted as dropped above)
+                active = active & ~cond
 
             pos, fields, pid = model.pos, dict(model.fields), model.pid
             for name in ("left", "right"):
                 rv = payloads[name]
                 (free,) = jnp.nonzero(~active, size=k, fill_value=p)
                 ok = rv["valid"] & (free < p)
+                # received-but-unplaced particles are lost: count them
+                dropped = dropped + jnp.sum(
+                    rv["valid"] & (free >= p), dtype=jnp.int32
+                ).reshape(1)
                 tgt = jnp.where(ok, free, p)
                 pos = pos.at[:, tgt].set(rv["pos"], mode="drop")
                 pid = pid.at[tgt].set(rv["pid"], mode="drop")
@@ -176,7 +193,7 @@ class HaloComm:
                 active = active.at[tgt].set(True, mode="drop")
             out.append(model._replace(pos=pos, fields=fields, active=active,
                                       pid=pid))
-        return out
+        return out, dropped
 
 
 class MultiChipEngine:
@@ -190,7 +207,7 @@ class MultiChipEngine:
         mesh: Optional[Mesh] = None,
         n_devices: Optional[int] = None,
         axis: str = "x",
-        halo_margin: int = 1,
+        halo_margin: Optional[int] = None,
         migration_capacity: int = 2048,
         colliders: Sequence = (),
         tile_chunk: int = 32,
@@ -209,6 +226,24 @@ class MultiChipEngine:
         self.tile_chunk = tile_chunk
         self.capacity_factor = particle_capacity_factor
         self.use_pallas = use_pallas
+        # The P2G arena can scatter up to (arena_lo + arena_span - 1) block
+        # layers past the slab boundary (and |arena_lo| before it), so the
+        # exchanged window must be at least that wide or boundary mass leaks.
+        arena_reach = max(cfg.arena_lo + cfg.arena_span - 1, -cfg.arena_lo, 1)
+        if halo_margin is None:
+            halo_margin = arena_reach
+        assert halo_margin >= arena_reach, (
+            f"halo_margin={halo_margin} cannot cover the transfer arena's "
+            f"scatter reach of {arena_reach} block layers (rebucket_every="
+            f"{cfg.rebucket_every} widens the arena; raise halo_margin or "
+            "lower rebucket_every)"
+        )
+        # ppermute exchanges with immediate neighbors only, so the window may
+        # not extend past their slabs
+        assert cfg.grid_size // self.n_dev >= halo_margin, (
+            "slab thinner than the halo margin; use fewer devices or a "
+            "larger domain"
+        )
         self.comm = HaloComm(cfg, axis, self.n_dev, halo_margin, migration_capacity)
         self._num_tiles: List[int] = []
         self._pcaps: List[int] = []
@@ -293,7 +328,7 @@ class MultiChipEngine:
         )
         return SimState(
             grid=P(ax), partition=part_spec, models=model_specs,
-            dt=P(), max_vel=P(), t=P(), step=P(),
+            dt=P(), max_vel=P(), t=P(), step=P(), mig_dropped=P(ax),
         )
 
     # -- stepping ------------------------------------------------------
@@ -387,7 +422,10 @@ class MultiChipEngine:
             "t": float(state.t),
             "dt": float(state.dt),
             "active_blocks": counts.tolist(),
+            "migration_dropped": int(np.asarray(state.mig_dropped).sum()),
         }
         for i, m in enumerate(state.models):
             out[f"model{i}_active"] = int(jnp.sum(m.active))
+            out[f"model{i}_dropped_tiles"] = int(
+                np.asarray(m.tiles.dropped).sum())
         return out

@@ -146,3 +146,39 @@ def test_sand_nacc_run_stable():
         d = eng.diagnostics(state)
         assert np.isfinite(d["grid_mass"]) and d["grid_mass"] > 0
         assert np.all(np.isfinite(np.asarray(state.models[0].pos)))
+
+
+def test_divergence_exits_frame_loop_and_raises():
+    """A NaN in the grid must poison dt -> t and exit run_frame in bounded
+    time (the reference reads max_vel to host each substep and bails,
+    gmpm_simulator.cuh:355-358; our on-device loop exits via dt=NaN), and
+    check_health must raise loudly."""
+    mat = cmt.FixedCorotated(volume=1e-6, e=1e4, nu=0.3)
+    cfg, eng, pos, state = small_setup(mat)
+    bad = state._replace(
+        grid=state.grid.at[0, 1].set(jnp.nan)  # NaN momentum in one block
+    )
+    out = eng.run_frame(bad, jnp.float32(1.0))  # must terminate
+    assert not np.isfinite(float(out.t))
+    with pytest.raises(FloatingPointError, match="diverged"):
+        eng.check_health(out)
+
+
+def test_health_warns_on_dropped_particles():
+    """Nonzero loss counters surface as warnings (strict=False) or errors."""
+    import warnings
+
+    mat = cmt.FixedCorotated(volume=1e-6, e=1e4, nu=0.3)
+    cfg, eng, pos, state = small_setup(mat)
+    tiles0 = state.models[0].tiles
+    lossy = state._replace(
+        models=(state.models[0]._replace(
+            tiles=tiles0._replace(dropped=jnp.ones((1,), jnp.int32))
+        ),)
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.check_health(lossy, strict=False)
+    assert any("dropped" in str(x.message) for x in w)
+    with pytest.raises(RuntimeError, match="dropped"):
+        eng.check_health(lossy, strict=True)
