@@ -50,12 +50,27 @@ class SimConfig:
     # gmpm_simulator.cuh:355-358)
     max_substeps_per_frame: int = 1_000_000
 
+    # --- transfer matmul precision ---
+    # TPU MXUs are bf16 hardware; f32 matmuls are emulated in bf16 passes:
+    # "highest" = 6 passes (true f32), "high" = 3 passes (~2^-21 relative
+    # error, twice as fast), "default" = 1 pass (unusable: mass conservation
+    # breaks at ~0.3%/step, docs/benchmarks.md).
+    mxu_precision: str = "highest"
+
     # --- lazy rebucketing ---
     # Rebuild buckets/partition every K substeps instead of every substep
     # (the reference rebuilds every step).  K>1 amortizes the sort+permute
     # chain; the transfer arena widens from 2^3 to 4^3 blocks to tolerate up
     # to ceil(K/2) cells of drift (CFL guarantees <= 0.5 cells/step).
     rebucket_every: int = 1
+
+    @cached_property
+    def precision(self):
+        """jax.lax.Precision for the transfer contractions."""
+        from jax.lax import Precision
+
+        return {"highest": Precision.HIGHEST, "high": Precision.HIGH,
+                "default": Precision.DEFAULT}[self.mxu_precision]
 
     @cached_property
     def arena_span(self) -> int:

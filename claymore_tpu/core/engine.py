@@ -88,6 +88,7 @@ def init_impl(
         t=jnp.float32(0.0),
         step=jnp.int32(0),
         mig_dropped=jnp.zeros((1,), jnp.int32),
+        halo_overflow=jnp.zeros((1,), jnp.int32),
     )
 
 
@@ -151,8 +152,10 @@ def substep_impl(
     extra_mask = None
     halo_slabs = None
     mig_dropped = state.mig_dropped
+    halo_overflow = state.halo_overflow
     if comm is not None:
         halo_slabs = comm.exchange_halo(next_pool, state.partition)
+        halo_overflow = halo_overflow + halo_slabs[1]
         # migration only takes effect on rebuild steps (migrants would sit
         # untiled otherwise); collectives run unconditionally, payload-masked
         new_models, mig_drop = comm.migrate(new_models, materials,
@@ -239,6 +242,7 @@ def substep_impl(
         t=t_after,
         step=state.step + 1,
         mig_dropped=mig_dropped,
+        halo_overflow=halo_overflow,
     )
 
 
@@ -377,6 +381,9 @@ class MPMEngine:
         md = int(np.asarray(state.mig_dropped).sum())
         if md > 0:
             msgs.append(f"{md} particles lost to migration capacity")
+        ho = int(np.asarray(state.halo_overflow).sum())
+        if ho > 0:
+            msgs.append(f"{ho} halo blocks beyond halo_capacity (mass leaked)")
         if msgs:
             msg = "; ".join(msgs) + " — increase capacities in SimConfig"
             if strict:

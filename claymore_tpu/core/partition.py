@@ -120,8 +120,13 @@ def plan_tiles(cfg: SimConfig, pos: jnp.ndarray, active: jnp.ndarray,
     new_slot = jnp.where(act_s & (new_slot < s_cap), new_slot, s_cap)
     dropped = jnp.sum(act_s & (new_slot >= s_cap), dtype=jnp.int32).reshape(1)
 
+    # give every dropped/invalid lane a DISTINCT out-of-bounds index so the
+    # scatter qualifies for XLA's unique-indices fast path (the generic
+    # scatter serializes against duplicate hazards — measured ~10x slower
+    # than the row gather on TPU at 1.6M lanes)
+    new_slot_u = jnp.where(new_slot < s_cap, new_slot, s_cap + iota)
     src = jnp.full((s_cap,), s_cap, jnp.int32)
-    src = src.at[new_slot].set(order, mode="drop")
+    src = src.at[new_slot_u].set(order, mode="drop", unique_indices=True)
     valid = src < s_cap
 
     return TilePlan(src=src, valid=valid, key=key, dropped=dropped)

@@ -37,9 +37,6 @@ import jax
 import jax.numpy as jnp
 import numpy as _np
 
-_PREC = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16 passes;
-# MPM transfers need full f32 (mass conservation, F updates)
-
 from ..config import SimConfig
 from ..models.materials import Material
 from .types import ParticleModel
@@ -227,7 +224,7 @@ def g2p2g_model(
             ct, cells * cells, 4 * tile)
         r = (uz[:, :, None, :] * sv[:, None, :, :]).reshape(
             ct, cells * 4, 4 * tile)
-        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=_PREC)
+        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=cfg.precision)
         arena_out = arena_out.reshape(ct, cells, cells, cells, 4)
 
         blocks = _scatter_layout(cfg, arena_out)
@@ -305,7 +302,7 @@ def rasterize_model(
             ct, cells * cells, tile)
         r = (wz[:, :, None, :] * sv[:, None, :, :]).reshape(
             ct, cells * 4, tile)
-        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=_PREC).reshape(
+        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=cfg.precision).reshape(
             ct, cells, cells, cells, 4)
         blocks = _scatter_layout(cfg, arena_out)
         carry = carry.at[nb_slot.reshape(-1)].add(

@@ -70,3 +70,5 @@ class SimState(NamedTuple):
     step: jnp.ndarray             # i32[]
     mig_dropped: jnp.ndarray      # i32[1]; particles lost to migration
     # capacity overflow, cumulative (multi-chip only; diagnostic)
+    halo_overflow: jnp.ndarray    # i32[1]; halo blocks beyond halo_capacity
+    # that could not be packed/exchanged, cumulative (multi-chip only)

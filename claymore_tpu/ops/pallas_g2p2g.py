@@ -32,13 +32,32 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_PREC = jax.lax.Precision.HIGHEST  # full f32 on the MXU
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
 from ..models.materials import Material
 from ..core.types import ParticleModel
 from ..core.transfer import neighbor_slots
+
+
+def _dotp(cfg: SimConfig, a, b):
+    """Matmul at the config's precision.  Mosaic only implements the
+    DEFAULT and HIGHEST dot precisions, so "high" (bf16x3, half the passes
+    of HIGHEST at ~2^-21 relative error) is emulated with an explicit
+    hi/lo split: a@b ~= ah@bh + ah@bl + al@bh."""
+    f32 = jnp.float32
+    if cfg.mxu_precision == "highest":
+        return jnp.dot(a, b, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if cfg.mxu_precision == "default":
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=f32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(f32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(f32)).astype(jnp.bfloat16)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=f32)
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
 def _axis_weights(cfg: SimConfig, pos_ax, origin_ax, li_ax, dtype):
@@ -62,8 +81,9 @@ def _axis_weights(cfg: SimConfig, pos_ax, origin_ax, li_ax, dtype):
 
 def gather_arenas(cfg: SimConfig, pool: jnp.ndarray,
                   nb_slot: jnp.ndarray) -> jnp.ndarray:
-    """[T, span^3] pool slots -> [T, 3, C, C, C] velocity arenas (XLA
-    gather; cheap block-row gather, the kernel streams the result)."""
+    """[T, span^3] pool slots -> [T, 3*C, C*C] velocity arenas with rows
+    (channel, x) and lanes (y, z) — the layout the kernel's (y, z)-joint
+    MXU contraction consumes directly (XLA gather; the kernel streams it)."""
     bs = cfg.block_size
     sp = cfg.arena_span
     blocks = pool[nb_slot][:, :, 1:4]             # [T, s^3, 3, bv]
@@ -71,7 +91,7 @@ def gather_arenas(cfg: SimConfig, pool: jnp.ndarray,
     a = blocks.reshape(t, sp, sp, sp, 3, bs, bs, bs)
     a = a.transpose(0, 4, 1, 5, 2, 6, 3, 7)
     c = sp * bs
-    return a.reshape(t, 3, c, c, c)
+    return a.reshape(t, 3 * c, c * c)
 
 
 def arenas_to_block_rows(cfg: SimConfig, arenas: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +121,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         dt_ref,        # f32[1]
         ndt_ref,       # f32[1]
         # streamed per-tile blocks
-        arena_ref,     # f32[1, 3, 8, 8, 8] grid velocities, cell (x, y, z)
+        arena_ref,     # f32[1, 3C, C^2] grid velocities, rows (c, x), lanes (y, z)
         pos_ref,       # f32[3, tile]
         act_ref,       # i32[1, tile]
         *rest,
@@ -140,25 +160,24 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 ms.append(m)
             (wx, wy, wz), (mx, my, mz) = ws, ms       # [C, tile]
 
-            # --- G2P: contract z on the MXU, y/x on the VPU ---
-            vflat = arena_ref[0].reshape(3 * cells * cells, cells)
-            gz = jnp.dot(vflat, wz, preferred_element_type=dtype,
-                         precision=_PREC)
-            gmz = jnp.dot(vflat, mz, preferred_element_type=dtype,
-                          precision=_PREC)
-            gz = gz.reshape(3, cells, cells, tile)    # c, x, y
-            gmz = gmz.reshape(3, cells, cells, tile)
-            wy_b = wy[None, None, :, :]
-            my_b = my[None, None, :, :]
-            gzy = jnp.sum(gz * wy_b, axis=2)          # (c, x)
-            gzmy = jnp.sum(gz * my_b, axis=2)
-            gmzy = jnp.sum(gmz * wy_b, axis=2)
+            # --- G2P: contract (y, z) jointly on the MXU, x on the VPU ---
+            # (one [3C, C^2] @ [C^2, 3t] matmul replaces the per-axis chain
+            # whose [3, C, C, t] broadcast-reduce stages dominated the kernel
+            # on the VPU — measured, round 2)
+            vflat = arena_ref[0]                      # [3C (c,x), C^2 (y,z)]
+            wyz = (wy[:, None, :] * wz[None, :, :]).reshape(cells * cells, tile)
+            myz = (my[:, None, :] * wz[None, :, :]).reshape(cells * cells, tile)
+            wmz = (wy[:, None, :] * mz[None, :, :]).reshape(cells * cells, tile)
+            gcat = _dotp(cfg, vflat, jnp.concatenate([wyz, myz, wmz], axis=1))
+            g0 = gcat[:, :tile].reshape(3, cells, tile)        # wy*wz
+            g1 = gcat[:, tile:2 * tile].reshape(3, cells, tile)  # my*wz
+            g2 = gcat[:, 2 * tile:].reshape(3, cells, tile)      # wy*mz
             wx_b = wx[None, :, :]
             mx_b = mx[None, :, :]
-            vel = jnp.sum(gzy * wx_b, axis=1)         # [3, tile]
-            col0 = jnp.sum(gzy * mx_b, axis=1)
-            col1 = jnp.sum(gzmy * wx_b, axis=1)
-            col2 = jnp.sum(gmzy * wx_b, axis=1)
+            vel = jnp.sum(g0 * wx_b, axis=1)          # [3, tile]
+            col0 = jnp.sum(g0 * mx_b, axis=1)         # x-moment
+            col1 = jnp.sum(g1 * wx_b, axis=1)         # y-moment
+            col2 = jnp.sum(g2 * wx_b, axis=1)         # z-moment
             cols = (col0, col1, col2)
             a_soa = tuple(cols[c][r] for r in range(3) for c in range(3))
 
@@ -222,8 +241,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 cells * cells, 4 * tile)
             r = (uz[:, None, :] * sv[None, :, :]).reshape(
                 cells * 4, 4 * tile)
-            aout = jnp.dot(e, r.T, preferred_element_type=dtype,
-                           precision=_PREC)
+            aout = _dotp(cfg, e, r.T)
             out_arena_ref[0] = aout                   # [(x,y), (z,c)]
 
         def _dead_tile():
@@ -278,7 +296,7 @@ def g2p2g_pallas(
     smap = lambda t, *pref: (0, t)
     _cc = cfg.arena_cells
     in_specs = [
-        pl.BlockSpec((1, 3, _cc, _cc, _cc), lambda t, *pref: (t, 0, 0, 0, 0),
+        pl.BlockSpec((1, 3 * _cc, _cc * _cc), lambda t, *pref: (t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, tile), smap, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile), smap, memory_space=pltpu.VMEM),

@@ -45,85 +45,143 @@ from ..models.materials import Material
 
 
 class HaloComm:
-    """Per-shard communication hooks used inside shard_map."""
+    """Per-shard communication hooks used inside shard_map.
 
-    def __init__(self, cfg: SimConfig, axis: str, n_dev: int, margin: int,
-                 mig_cap: int):
+    ``axes`` maps mesh axis names to decomposed spatial dimensions:
+    1-D x-slabs = (("x", 0),); the reference's 4-GPU 2x2 (x, z) box split
+    (reference MGSP/settings.h:78-88, partition_domain.h:27-70) =
+    (("x", 0), ("z", 2)).  Corner (diagonal) halo flow is handled by
+    chaining ppermutes along both axes.
+    """
+
+    def __init__(self, cfg: SimConfig, axes, mesh_shape, margin: int,
+                 mig_cap: int, halo_capacity: Optional[int] = None):
         self.cfg = cfg
-        self.axis = axis
-        self.n_dev = n_dev
+        self.axes = tuple(axes)          # ((mesh_axis_name, spatial_dim), ...)
+        self.mesh_shape = tuple(mesh_shape)
         self.margin = margin
         self.mig_cap = mig_cap
-        assert cfg.grid_size % n_dev == 0, (cfg.grid_size, n_dev)
-        self.slab = cfg.grid_size // n_dev
+        # fixed packed-buffer capacity; the default (all pool slots) can
+        # never overflow, smaller values trade memory for a loud counter
+        self.halo_capacity = halo_capacity or cfg.max_active_blocks
+        self.slabs = []
+        for n in self.mesh_shape:
+            assert cfg.grid_size % n == 0, (cfg.grid_size, n)
+            self.slabs.append(cfg.grid_size // n)
 
     # -- mesh geometry -------------------------------------------------
-    def _bounds(self):
-        i = jax.lax.axis_index(self.axis)
-        x0 = i * self.slab
-        return i, x0, x0 + self.slab
+    def _bounds(self, a: int):
+        """(index, lo, hi) of this shard's block-range on decomposed axis a."""
+        i = jax.lax.axis_index(self.axes[a][0])
+        lo = i * self.slabs[a]
+        return i, lo, lo + self.slabs[a]
+
+    def _spatial_coord(self, keys, a: int):
+        """Block coordinate of flat keys along decomposed axis a."""
+        g = self.cfg.grid_size
+        dim = self.axes[a][1]
+        return (keys // (g * g), (keys // g) % g, keys % g)[dim]
+
+    def _shift(self, x, a: int, step: int):
+        """ppermute x by ``step`` shards along decomposed axis a."""
+        n = self.mesh_shape[a]
+        perm = [(k, k + step) for k in range(n) if 0 <= k + step < n]
+        return jax.lax.ppermute(x, self.axes[a][0], perm)
 
     # -- reductions ----------------------------------------------------
     def reduce_max(self, x):
-        return jax.lax.pmax(x, self.axis)
+        for name, _dim in self.axes:
+            x = jax.lax.pmax(x, name)
+        return x
 
-    # -- halo windows --------------------------------------------------
-    def _window_coords(self, x_start):
-        """Block coords of a window of 2*margin x-layers: [3, 2m, G, G]."""
-        g = self.cfg.grid_size
-        m = self.margin
-        xs = x_start + jnp.arange(2 * m)
-        yy, zz = jnp.meshgrid(jnp.arange(g), jnp.arange(g), indexing="ij")
-        return jnp.stack(
-            [
-                jnp.broadcast_to(xs[:, None, None], (2 * m, g, g)),
-                jnp.broadcast_to(yy[None], (2 * m, g, g)),
-                jnp.broadcast_to(zz[None], (2 * m, g, g)),
-            ],
-            axis=0,
-        )
+    # -- packed halo exchange -------------------------------------------
+    # The reference exchanges only *active* halo blocks: halo_tagging
+    # blockid-list exchange -> collect_halo_grid_blocks pack -> peer copy ->
+    # atomicAdd reduce (reference mgsp_benchmark.cuh:661-776,
+    # halo_buffer.cuh:54-63, halo_kernels.cuh:22-97).  Here the same protocol
+    # in static shapes: each shard packs (keys, pool rows) of its active
+    # blocks inside the boundary window into a fixed-capacity buffer and
+    # ppermutes it; the receiver scatter-adds by table lookup.  Payload size
+    # is halo_capacity blocks — independent of the grid cross-section G^2
+    # (the dense-window formulation shipped 2m*G^2 blocks per neighbor,
+    # 134 MB/substep at 1024^3 — unusable at the 100M-particle target).
 
-    def _extract(self, pool, table, coords):
-        slots = part.lookup(self.cfg, table, coords)         # [2m, G, G]
-        return pool[slots]                                   # [2m, G, G, 4, bv]
+    def _directions(self):
+        """All nonzero neighbor offsets over the decomposed axes: 2 for a
+        1-D split, 8 (4 sides + 4 corners) for the 2-D (x, z) split."""
+        na = len(self.axes)
+        dirs = []
+        steps = [(-1, 0, 1)] * na
+        import itertools
+        for d in itertools.product(*steps):
+            if any(d):
+                dirs.append(d)
+        return dirs
+
+    def _pack_window(self, pool, partition, cond_extra):
+        """Pack (keys, rows) of my active blocks where cond_extra holds."""
+        cfg = self.cfg
+        n3 = cfg.grid_size ** 3
+        nb = cfg.max_active_blocks
+        h = self.halo_capacity
+        keys = partition.keys
+        live = (jnp.arange(nb) < partition.count) & (keys < n3)
+        cond = live & cond_extra
+        (idx,) = jnp.nonzero(cond, size=h, fill_value=nb)
+        valid = idx < nb
+        overflow = (jnp.sum(cond, dtype=jnp.int32)
+                    - jnp.sum(valid, dtype=jnp.int32)).reshape(1)
+        gidx = jnp.minimum(idx, nb - 1)
+        k = jnp.where(valid, keys[gidx], n3).astype(jnp.int32)
+        rows = pool[gidx] * valid[:, None, None].astype(pool.dtype)
+        return k, rows, overflow
 
     def exchange_halo(self, pool, partition):
-        """ppermute both boundary windows; returns the *neighbor's*
-        contributions over (my left window, my right window)."""
-        _, x0, x1 = self._bounds()
+        """Pack each neighbor-facing boundary window and ship it with (a
+        chain of) ppermutes; returns the received packed contributions plus
+        my total pack overflow."""
         m = self.margin
-        cl = self._window_coords(x0 - m)
-        cr = self._window_coords(x1 - m)
-        mine_l = self._extract(pool, partition.table, cl)
-        mine_r = self._extract(pool, partition.table, cr)
-        n = self.n_dev
-        perm_r = [(k, k + 1) for k in range(n - 1)]          # send to right
-        perm_l = [(k + 1, k) for k in range(n - 1)]          # send to left
-        from_left = jax.lax.ppermute(mine_r, self.axis, perm_r)
-        # neighbor's right window == my left window
-        from_right = jax.lax.ppermute(mine_l, self.axis, perm_l)
-        return (from_left, from_right, cl, cr)
+        keys = partition.keys
+        bounds = [self._bounds(a) for a in range(len(self.axes))]
+        received = []
+        overflow = jnp.zeros((1,), jnp.int32)
+        for d in self._directions():
+            cond = jnp.ones_like(keys, dtype=bool)
+            for a, step in enumerate(d):
+                if step == 0:
+                    continue
+                c = self._spatial_coord(keys, a)
+                _, lo, hi = bounds[a]
+                edge = hi if step > 0 else lo
+                cond = cond & (c >= edge - m) & (c < edge + m)
+            k, rows, of = self._pack_window(pool, partition, cond)
+            overflow = overflow + of
+            payload = (k, rows)
+            for a, step in enumerate(d):
+                if step:
+                    payload = jax.tree.map(
+                        lambda x: self._shift(x, a, step), payload)
+            received.append(payload)
+        return (received, overflow)
 
     def halo_mass_mask(self, slabs):
-        """Blocks where the neighbor contributed mass -> keep them active."""
-        from_left, from_right, cl, cr = slabs
-        g = self.cfg.grid_size
-        n3 = g * g * g
+        """Blocks where a neighbor contributed mass -> keep them active."""
+        n3 = self.cfg.grid_size ** 3
         mask = jnp.zeros((n3,), jnp.bool_)
-        for slab, coords in ((from_left, cl), (from_right, cr)):
-            has = jnp.any(slab[..., 0, :] != 0.0, axis=-1)   # [2m, G, G]
-            key = part.flatten_key(self.cfg, coords)
-            mask = mask.at[jnp.minimum(key, n3 - 1)].max(has & (key < n3))
+        for keys, rows in slabs[0]:
+            has = jnp.any(rows[:, 0, :] != 0.0, axis=-1)     # [H]
+            mask = mask.at[jnp.minimum(keys, n3 - 1)].max(has & (keys < n3))
         return mask
 
     def add_halo(self, pool, partition, slabs):
-        """Sum neighbor contributions into my (rebuilt) pool."""
-        from_left, from_right, cl, cr = slabs
-        for slab, coords in ((from_left, cl), (from_right, cr)):
-            slots = part.lookup(self.cfg, partition.table, coords).reshape(-1)
-            pool = pool.at[slots].add(
-                slab.reshape(-1, 4, self.cfg.block_volume)
-            )
+        """Sum neighbor contributions into my (rebuilt) pool.  Blocks I do
+        not have active fall into the null row (they carry no mass for me by
+        construction: the mass mask activated every massy received block)."""
+        n3 = self.cfg.grid_size ** 3
+        for keys, rows in slabs[0]:
+            slots = partition.table[jnp.minimum(keys, n3)]
+            slots = jnp.where(keys < n3, slots, self.cfg.null_block)
+            pool = pool.at[slots].add(rows)
         return pool.at[self.cfg.null_block].set(0.0)
 
     # -- particle migration -------------------------------------------
@@ -138,59 +196,60 @@ class HaloComm:
         ``SimState.mig_dropped`` so the loss is loud (reference analogue:
         the capacity aborts, gmpm_simulator.cuh:473-476).
         """
-        _, x0, x1 = self._bounds()
         cfg = self.cfg
         k = self.mig_cap
-        n = self.n_dev
-        perm_r = [(j, j + 1) for j in range(n - 1)]
-        perm_l = [(j + 1, j) for j in range(n - 1)]
         out = []
         dropped = jnp.zeros((1,), jnp.int32)
         for model in models:
             p = model.pos.shape[1]
-            hbx = part.home_block(cfg, model.pos)[0]
-            active = model.active
-            payloads = {}
-            for name, cond, perm in (
-                ("left", active & (hbx < x0) & enable, perm_l),
-                ("right", active & (hbx >= x1) & enable, perm_r),
-            ):
-                (idx,) = jnp.nonzero(cond, size=k, fill_value=p)
-                valid = idx < p
-                # senders beyond capacity stay resident on the wrong shard:
-                # deactivate AND count them (they must not keep scattering)
-                want = jnp.sum(cond, dtype=jnp.int32)
-                got = jnp.sum(valid, dtype=jnp.int32)
-                dropped = dropped + (want - got).reshape(1)
-                gidx = jnp.minimum(idx, p - 1)
-                payload = {
-                    "pos": model.pos[:, gidx],
-                    "valid": valid,
-                    "pid": model.pid[gidx],
-                    **{f: v[..., gidx] for f, v in model.fields.items()},
-                }
-                payloads[name] = jax.tree.map(
-                    lambda x: jax.lax.ppermute(x, self.axis, perm), payload
-                )
-                # deactivate every lane that wants to leave (shipped or not —
-                # unshipped crossers are counted as dropped above)
-                active = active & ~cond
-
             pos, fields, pid = model.pos, dict(model.fields), model.pid
-            for name in ("left", "right"):
-                rv = payloads[name]
-                (free,) = jnp.nonzero(~active, size=k, fill_value=p)
-                ok = rv["valid"] & (free < p)
-                # received-but-unplaced particles are lost: count them
-                dropped = dropped + jnp.sum(
-                    rv["valid"] & (free >= p), dtype=jnp.int32
-                ).reshape(1)
-                tgt = jnp.where(ok, free, p)
-                pos = pos.at[:, tgt].set(rv["pos"], mode="drop")
-                pid = pid.at[tgt].set(rv["pid"], mode="drop")
-                for f in fields:
-                    fields[f] = fields[f].at[..., tgt].set(rv[f], mode="drop")
-                active = active.at[tgt].set(True, mode="drop")
+            active = model.active
+            # one axis at a time: corner crossers move diagonally within a
+            # single call via two hops (x then z)
+            for a in range(len(self.axes)):
+                hb = part.home_block(cfg, pos)[self.axes[a][1]]
+                _, lo, hi = self._bounds(a)
+                payloads = {}
+                for name, cond, step in (
+                    ("left", active & (hb < lo) & enable, -1),
+                    ("right", active & (hb >= hi) & enable, +1),
+                ):
+                    (idx,) = jnp.nonzero(cond, size=k, fill_value=p)
+                    valid = idx < p
+                    # senders beyond capacity stay resident on the wrong
+                    # shard: deactivate AND count them (they must not keep
+                    # scattering)
+                    want = jnp.sum(cond, dtype=jnp.int32)
+                    got = jnp.sum(valid, dtype=jnp.int32)
+                    dropped = dropped + (want - got).reshape(1)
+                    gidx = jnp.minimum(idx, p - 1)
+                    payload = {
+                        "pos": pos[:, gidx],
+                        "valid": valid,
+                        "pid": pid[gidx],
+                        **{f: v[..., gidx] for f, v in fields.items()},
+                    }
+                    payloads[name] = jax.tree.map(
+                        lambda x: self._shift(x, a, step), payload
+                    )
+                    # deactivate every lane that wants to leave (shipped or
+                    # not — unshipped crossers are counted as dropped above)
+                    active = active & ~cond
+
+                for name in ("left", "right"):
+                    rv = payloads[name]
+                    (free,) = jnp.nonzero(~active, size=k, fill_value=p)
+                    ok = rv["valid"] & (free < p)
+                    # received-but-unplaced particles are lost: count them
+                    dropped = dropped + jnp.sum(
+                        rv["valid"] & (free >= p), dtype=jnp.int32
+                    ).reshape(1)
+                    tgt = jnp.where(ok, free, p)
+                    pos = pos.at[:, tgt].set(rv["pos"], mode="drop")
+                    pid = pid.at[tgt].set(rv["pid"], mode="drop")
+                    for f in fields:
+                        fields[f] = fields[f].at[..., tgt].set(rv[f], mode="drop")
+                    active = active.at[tgt].set(True, mode="drop")
             out.append(model._replace(pos=pos, fields=fields, active=active,
                                       pid=pid))
         return out, dropped
@@ -198,7 +257,9 @@ class HaloComm:
 
 class MultiChipEngine:
     """MGSP-equivalent multi-chip engine: same config/materials API as
-    MPMEngine, sharded over a 1-D mesh axis in block space."""
+    MPMEngine, sharded over a 1-D x-slab mesh (``n_devices``) or the
+    reference's 2-D (x, z) box split (``mesh_shape=(nx, nz)``; reference
+    MGSP/settings.h:78-88 splits 4 GPUs 2x2 over (x, z))."""
 
     def __init__(
         self,
@@ -206,20 +267,35 @@ class MultiChipEngine:
         materials: Sequence[Material],
         mesh: Optional[Mesh] = None,
         n_devices: Optional[int] = None,
+        mesh_shape: Optional[Sequence[int]] = None,
         axis: str = "x",
         halo_margin: Optional[int] = None,
         migration_capacity: int = 2048,
+        halo_capacity: Optional[int] = None,
         colliders: Sequence = (),
         tile_chunk: int = 32,
         particle_capacity_factor: float = 1.5,
         use_pallas=False,
     ):
+        if mesh_shape is not None:
+            mesh_shape = tuple(int(n) for n in mesh_shape)
+            assert len(mesh_shape) in (1, 2)
         if mesh is None:
-            devs = jax.devices()[: (n_devices or len(jax.devices()))]
-            mesh = Mesh(np.array(devs), (axis,))
+            total = (int(np.prod(mesh_shape)) if mesh_shape
+                     else (n_devices or len(jax.devices())))
+            devs = np.array(jax.devices()[:total])
+            if mesh_shape and len(mesh_shape) == 2:
+                mesh = Mesh(devs.reshape(mesh_shape), (axis, "z"))
+            else:
+                mesh = Mesh(devs, (axis,))
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.devices.size
+        if mesh_shape is None:
+            mesh_shape = tuple(mesh.devices.shape)
+        self.mesh_shape = mesh_shape
+        # decomposed spatial dims: x always; z for 2-D box splits
+        axes = tuple(zip(mesh.axis_names, (0, 2)[: len(mesh_shape)]))
         self.cfg = cfg
         self.materials = tuple(materials)
         self.colliders = tuple(colliders)
@@ -240,20 +316,26 @@ class MultiChipEngine:
         )
         # ppermute exchanges with immediate neighbors only, so the window may
         # not extend past their slabs
-        assert cfg.grid_size // self.n_dev >= halo_margin, (
-            "slab thinner than the halo margin; use fewer devices or a "
-            "larger domain"
-        )
-        self.comm = HaloComm(cfg, axis, self.n_dev, halo_margin, migration_capacity)
+        for n in mesh_shape:
+            assert cfg.grid_size // n >= halo_margin, (
+                "slab thinner than the halo margin; use fewer devices or a "
+                "larger domain"
+            )
+        self.comm = HaloComm(cfg, axes, mesh_shape, halo_margin,
+                             migration_capacity, halo_capacity)
         self._num_tiles: List[int] = []
         self._pcaps: List[int] = []
         self._substep_fn = None
+
+    @property
+    def _spec_axes(self):
+        names = self.mesh.axis_names
+        return names[0] if len(names) == 1 else tuple(names)
 
     # -- init ----------------------------------------------------------
     def init_state(self, model_positions, model_velocities=None) -> SimState:
         cfg = self.cfg
         nd = self.n_dev
-        slab = cfg.grid_size // nd
         if model_velocities is None:
             model_velocities = [(0.0, 0.0, 0.0)] * len(self.materials)
 
@@ -262,8 +344,12 @@ class MultiChipEngine:
         for raw in model_positions:
             raw = np.asarray(raw, np.float32)
             base = np.floor(raw * cfg.dx_inv + 0.5).astype(np.int64) - 1
-            hbx = (base[:, 0] - 1) >> cfg.block_bits
-            shard = np.clip(hbx // slab, 0, nd - 1)
+            hb = (base - 1) >> cfg.block_bits          # [n, 3] home blocks
+            # shard index: row-major over the decomposed axes (x-major)
+            shard = np.zeros(len(raw), np.int64)
+            for (name, dim), n_ax in zip(self.comm.axes, self.mesh_shape):
+                slab_ax = cfg.grid_size // n_ax
+                shard = shard * n_ax + np.clip(hb[:, dim] // slab_ax, 0, n_ax - 1)
             counts = np.bincount(shard, minlength=nd)
             pcap = max(int(np.ceil(counts.max() * self.capacity_factor)), 8)
             nt = cfg.tiles_for(pcap)
@@ -285,7 +371,7 @@ class MultiChipEngine:
             engine_mod.init_impl, cfg, self.materials, tuple(self._num_tiles),
             self.tile_chunk,
         )
-        ax = self.axis
+        ax = self._spec_axes
         comm = self.comm
 
         def _init(p, a):
@@ -308,7 +394,7 @@ class MultiChipEngine:
         return sharded_init(tuple(pos_stacked), tuple(act_stacked))
 
     def _out_state_spec(self):
-        ax = self.axis
+        ax = self._spec_axes
         part_spec = part.Partition(table=P(ax), keys=P(ax), count=P(ax),
                                    overflow=P(ax))
         tile_spec = part.TileMap(block=P(ax), bcoord=P(None, ax),
@@ -329,6 +415,7 @@ class MultiChipEngine:
         return SimState(
             grid=P(ax), partition=part_spec, models=model_specs,
             dt=P(), max_vel=P(), t=P(), step=P(), mig_dropped=P(ax),
+            halo_overflow=P(ax),
         )
 
     # -- stepping ------------------------------------------------------
@@ -423,6 +510,7 @@ class MultiChipEngine:
             "dt": float(state.dt),
             "active_blocks": counts.tolist(),
             "migration_dropped": int(np.asarray(state.mig_dropped).sum()),
+            "halo_overflow": int(np.asarray(state.halo_overflow).sum()),
         }
         for i, m in enumerate(state.models):
             out[f"model{i}_active"] = int(jnp.sum(m.active))

@@ -169,3 +169,88 @@ def test_multichip_run_steps_device_loop():
     k2 = np.lexsort(p2.T)
     assert p1.shape == p2.shape
     assert np.max(np.abs(p1[k1] - p2[k2])) < 1e-7
+
+
+def test_packed_halo_payload_independent_of_grid():
+    """The packed exchange ships halo_capacity blocks regardless of the grid
+    cross-section (the reference's collect/reduce protocol,
+    mgsp_benchmark.cuh:661-776) — required for the 1024^3 target."""
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=128)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    eng = MultiChipEngine(cfg, [mat], n_devices=2, tile_chunk=4,
+                          halo_capacity=32)
+    assert eng.comm.halo_capacity == 32
+    # payload shape is [halo_capacity, 4, block_volume] — G never appears
+    pos = sample_uniform_box_world(cfg.dx, [0.4]*3, [0.6]*3, cfg.ppc)
+    sm = eng.init_state([pos], [(0.0, -0.2, 0.0)])
+    for _ in range(2):
+        sm = eng.substep(sm, jnp.float32(1.0))
+    d = eng.diagnostics(sm)
+    assert d["halo_overflow"] == 0
+    assert abs(d["grid_mass"] - pos.shape[0] * mat.mass) < 1e-4 * pos.shape[0] * mat.mass
+
+
+def test_packed_halo_overflow_is_counted():
+    """A too-small halo_capacity surfaces as a loud counter, not silence."""
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=128)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    eng = MultiChipEngine(cfg, [mat], n_devices=2, tile_chunk=4,
+                          halo_capacity=1)
+    # material spanning the slab boundary -> more than 1 halo block per side
+    pos = sample_uniform_box_world(cfg.dx, [0.3, 0.3, 0.3], [0.7, 0.7, 0.7],
+                                   cfg.ppc)
+    sm = eng.init_state([pos], [(0.0, -0.2, 0.0)])
+    for _ in range(2):
+        sm = eng.substep(sm, jnp.float32(1.0))
+    d = eng.diagnostics(sm)
+    assert d["halo_overflow"] > 0
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (2, 4)])
+def test_2d_box_decomposition_matches_single_chip(mesh_shape):
+    """The reference's 2-D (x, z) box split (MGSP/settings.h:78-88,
+    partition_domain.h:27-70) as a 2-D device mesh with side + corner
+    (diagonal) packed halo exchanges."""
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos, v0 = make_scene(cfg)
+
+    single = cmt.MPMEngine(cfg, [mat], tile_chunk=4)
+    s1 = single.init_state([pos], [v0])
+    multi = MultiChipEngine(cfg, [mat], mesh_shape=mesh_shape, tile_chunk=4,
+                            migration_capacity=512)
+    sm = multi.init_state([pos], [v0])
+
+    for _ in range(4):
+        s1 = single.substep(s1, jnp.float32(1.0))
+        sm = multi.substep(sm, jnp.float32(1.0))
+    p1 = np.asarray(single.get_positions(s1))
+    p2 = np.asarray(multi.get_positions(sm))
+    assert p1.shape == p2.shape
+    k1 = np.lexsort(p1.T)
+    k2 = np.lexsort(p2.T)
+    assert np.max(np.abs(p1[k1] - p2[k2])) < 2e-6
+    d1 = single.diagnostics(s1)
+    dm = multi.diagnostics(sm)
+    assert abs(d1["grid_mass"] - dm["grid_mass"]) < 1e-3 * max(1, d1["grid_mass"])
+    assert dm["migration_dropped"] == 0 and dm["halo_overflow"] == 0
+
+
+def test_2d_migration_diagonal():
+    """A corner-crossing cluster must migrate across both axes."""
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4,
+                        gravity=(0.0, 0.0, 0.0))
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e3, nu=0.3)
+    pos = sample_uniform_box_world(cfg.dx, [0.42, 0.45, 0.42],
+                                   [0.48, 0.55, 0.48], cfg.ppc)
+    multi = MultiChipEngine(cfg, [mat], mesh_shape=(2, 2), tile_chunk=4,
+                            migration_capacity=4096)
+    sm = multi.init_state([pos], [(2.0, 0.0, 2.0)])
+    n = pos.shape[0]
+    for _ in range(110):
+        sm = multi.substep(sm, jnp.float32(1.0))
+    act = np.asarray(sm.models[0].active).reshape(4, -1)
+    assert act.sum() == n, "no particles lost crossing the corner"
+    assert act[3].sum() > 0, "particles should reach the (1,1) shard"
+    dm = multi.diagnostics(sm)
+    assert abs(dm["grid_mass"] - n * mat.mass) < 1e-3 * n * mat.mass
