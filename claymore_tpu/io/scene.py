@@ -141,12 +141,17 @@ def load_scene(path: str, tile_chunk: int = 32) -> Scene:
 
     device = doc.get("device", {})
     use_pallas = device.get("use_pallas", jax.default_backend() == "tpu")
-    if device.get("n_devices", 1) > 1:
+    mesh_shape = device.get("mesh_shape")  # e.g. [2, 2] for the 2-D box split
+    if device.get("n_devices", 1) > 1 or mesh_shape:
         from ..parallel.multi import MultiChipEngine
 
         engine = MultiChipEngine(
-            cfg, materials, n_devices=device["n_devices"],
-            halo_margin=device.get("halo_margin", 1),
+            cfg, materials,
+            n_devices=device.get("n_devices"),
+            mesh_shape=mesh_shape,
+            halo_margin=device.get("halo_margin"),
+            migration_capacity=device.get("migration_capacity", 2048),
+            halo_capacity=device.get("halo_capacity"),
             colliders=colliders, tile_chunk=tile_chunk,
             use_pallas=use_pallas,
         )

@@ -62,9 +62,12 @@ def sample_sdf(
     requested span).
 
     mode 'uniform': regular ppc-density lattice (reference
-    GenerateUniformSamples); 'poisson': jittered lattice thinned toward
-    blue-noise spacing (reference GeneratePoissonSamples via weighted sample
-    elimination)."""
+    GenerateUniformSamples); 'poisson': over-generate ~2x jittered
+    candidates, then weighted sample elimination down to the target count —
+    blue-noise spacing, matching the reference's read_sdf ->
+    GeneratePoissonSamples path (ParticleIO.hpp:32-97, vendored
+    cySampleElim); the native C++ hash-grid implementation is used when
+    available (claymore_tpu/native/src/runtime.cpp)."""
     offset = np.asarray(offset, np.float64)
     span = np.asarray(span, np.float64)
     dims = np.array(values.shape, np.float64)
@@ -76,17 +79,32 @@ def sample_sdf(
     scale = span / extent
     h_sdf = h / np.min(scale.clip(min=1e-12))
 
-    spans = [np.arange(h_sdf / 2, extent[d], h_sdf) for d in range(3)]
-    if any(len(s) == 0 for s in spans):
-        return np.zeros((0, 3), np.float32)
-    gx, gy, gz = np.meshgrid(*spans, indexing="ij")
-    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    if mode == "poisson":
-        rng = np.random.default_rng(seed)
-        pts = pts + rng.uniform(-0.35, 0.35, pts.shape) * h_sdf
+    def lattice(spacing, jitter):
+        spans = [np.arange(spacing / 2, extent[d], spacing) for d in range(3)]
+        if any(len(s) == 0 for s in spans):
+            return np.zeros((0, 3), np.float64)
+        gx, gy, gz = np.meshgrid(*spans, indexing="ij")
+        pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        if jitter:
+            rng = np.random.default_rng(seed)
+            pts = pts + rng.uniform(-0.45, 0.45, pts.shape) * spacing
+        return pts
 
-    sd = _trilinear(values, pts / sdf_dx)
-    inside = pts[sd <= 0.0]
+    if mode == "poisson":
+        from .sampler import poisson_disk_sample
+
+        over = 2.0  # candidate over-generation factor
+        pts = lattice(h_sdf / over ** (1.0 / 3.0), jitter=True)
+        sd = _trilinear(values, pts / sdf_dx)
+        candidates = pts[sd <= 0.0]
+        target = int(round(candidates.shape[0] / over))
+        inside = poisson_disk_sample(
+            candidates.astype(np.float32), target, seed=seed
+        )
+    else:
+        pts = lattice(h_sdf, jitter=False)
+        sd = _trilinear(values, pts / sdf_dx)
+        inside = pts[sd <= 0.0]
 
     world = offset + inside / extent * span
     return world.astype(np.float32)

@@ -75,3 +75,25 @@ def test_cli_runs_scene(tmp_path):
     p, _ = read_bgeo(os.path.join(out, sorted(bgeos)[-1]))
     assert p.shape[1] == 3 and len(p) > 100
     assert np.all(np.isfinite(p))
+
+
+def test_cli_runs_multidevice_scene(tmp_path):
+    """The shipped 4-device example scene (2x2 (x,z) box split) runs through
+    the CLI on the virtual CPU mesh (VERDICT r1 #10)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spath = os.path.join(repo, "scenes", "cube_4dev.json")
+    out = str(tmp_path / "out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = subprocess.run(
+        [sys.executable, "-m", "claymore_tpu", "-f", spath, "-o", out,
+         "--frames", "1", "--tile-chunk", "4"],
+        capture_output=True, text=True, timeout=500, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "done: 1 frames" in r.stdout
+    bgeos = [f for f in os.listdir(out) if f.endswith(".bgeo")]
+    assert len(bgeos) >= 2
+    from claymore_tpu.io.bgeo import read_bgeo
+    p, _ = read_bgeo(os.path.join(out, sorted(bgeos)[-1]))
+    assert len(p) > 100 and np.all(np.isfinite(p))
