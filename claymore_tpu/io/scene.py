@@ -71,6 +71,14 @@ def _build_collider(spec: Dict[str, Any], cfg: SimConfig):
     if t == "sdf":
         values, _origin, sdf_dx = sdf_io.read_sdf_file(spec["file"])
         return bnd.SignedDistanceCollider(values, sdf_dx, kind, friction, motion)
+    if t == "sdf_file":
+        # claymore collider asset format: {prefix}_sdf.bin + 3 gradient files
+        # (reference boundary_condition.cuh:297-320)
+        return bnd.SignedDistanceCollider.from_claymore_files(
+            spec["prefix"], spec["resolution"],
+            spec.get("dx", cfg.dx), kind, friction, motion,
+            bound_cells=spec.get("bound_cells", 8),
+        )
     raise ValueError(f"unknown collider type {t}")
 
 

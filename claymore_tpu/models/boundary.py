@@ -247,6 +247,30 @@ class SignedDistanceCollider(ColliderBase):
         self.dx = float(dx)
         self.bound_cells = int(bound_cells)
 
+    @classmethod
+    def from_claymore_files(cls, prefix: str, resolution, dx: float,
+                            kind=STICKY, friction: float = 0.0,
+                            motion: Optional[RigidMotion] = None,
+                            bound_cells: int = 8):
+        """Load the reference's collider asset format: four raw float32
+        files ``{prefix}_sdf.bin`` and ``{prefix}_grad_{0,1,2}.bin``, each
+        resolution.prod() values in C row-major (z innermost) order
+        (reference init_from_signed_distance_file + the fill loop's
+        idx = i*NY*NZ + j*NZ + k, boundary_condition.cuh:253-320)."""
+        res = tuple(int(r) for r in resolution)
+
+        def read(suffix):
+            arr = np.fromfile(f"{prefix}{suffix}", dtype=np.float32)
+            assert arr.size == res[0] * res[1] * res[2], (
+                f"{prefix}{suffix}: {arr.size} values, expected {res}"
+            )
+            return arr.reshape(res)
+
+        sdf = read("_sdf.bin")
+        grads = np.stack([read(f"_grad_{c}.bin") for c in range(3)], axis=0)
+        return cls(sdf, dx, kind=kind, friction=friction, motion=motion,
+                   gradients=grads, bound_cells=bound_cells)
+
     def sdf_and_normal(self, x):
         n = self.values.shape[0]
         xc = x / self.dx

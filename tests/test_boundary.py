@@ -101,3 +101,34 @@ def test_engine_with_sphere_collider_runs():
         state = eng.substep(state, jnp.float32(1.0))
     d = eng.diagnostics(state)
     assert np.isfinite(d["grid_mass"]) and d["grid_mass"] > 0
+
+
+def test_signed_distance_collider_claymore_binary_format(tmp_path):
+    """Round-trip the reference's *_sdf.bin + *_grad_{0,1,2}.bin asset format
+    (reference init_from_signed_distance_file, boundary_condition.cuh:297-320:
+    raw float32, C row-major with z innermost)."""
+    import numpy as np
+    from claymore_tpu.models import boundary as bnd
+
+    res = (8, 6, 5)
+    rng = np.random.default_rng(0)
+    sdf = rng.normal(size=res).astype(np.float32)
+    grads = rng.normal(size=(3,) + res).astype(np.float32)
+    prefix = str(tmp_path / "collider")
+    sdf.reshape(-1).tofile(prefix + "_sdf.bin")
+    for c in range(3):
+        grads[c].reshape(-1).tofile(prefix + f"_grad_{c}.bin")
+
+    col = bnd.SignedDistanceCollider.from_claymore_files(
+        prefix, res, dx=1.0 / 8)
+    assert np.allclose(np.asarray(col.values), sdf)
+    assert np.allclose(np.asarray(col.grads), grads)
+
+    # scene-level wiring
+    from claymore_tpu.io.scene import _build_collider
+    import claymore_tpu as cmt
+    cfg = cmt.SimConfig(domain_bits=5)
+    c2 = _build_collider(
+        {"type": "sdf_file", "prefix": prefix, "resolution": list(res),
+         "dx": 1.0 / 8, "kind": "slip"}, cfg)
+    assert np.allclose(np.asarray(c2.values), sdf)
