@@ -36,6 +36,15 @@ def build(scene: str, quick: bool):
         parts = [sample_uniform_box_world(
             cfg.dx, [lo, 0.5, lo], [hi, 0.5 + span, hi], cfg.ppc)]
         v0s = [(0.0, -0.5, 0.0)]
+    elif scene == "sphere25m":
+        # BASELINE.md flagship: ~25M-particle elastic sphere, 256^3 grid
+        # (the reference demonstrates 5-40M on one GPU, README.md:32)
+        cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=131072,
+                            default_dt=1e-4, rebucket_every=2)
+        vol = cfg.default_volume()
+        mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
+        parts = [sample_sphere(cfg.dx, (0.5, 0.55, 0.5), 0.3547, cfg.ppc)]
+        v0s = [(0.0, -0.5, 0.0)]
     elif scene == "sphere":
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
         parts = [sample_sphere(cfg.dx, (0.4, 0.6, 0.4), span / 2 * 1.24, cfg.ppc)]
@@ -107,7 +116,7 @@ def main():
     jax.block_until_ready(state)
     float(np.asarray(state.t))
 
-    steps = 5 if quick else 20
+    steps = 5 if (quick or n > 10_000_000) else 20
     state = eng.run_steps(state, steps, frame_end)  # compile the loop
     jax.block_until_ready(state)
     float(np.asarray(state.t))

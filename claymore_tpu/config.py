@@ -64,6 +64,18 @@ class SimConfig:
     # to ceil(K/2) cells of drift (CFL guarantees <= 0.5 cells/step).
     rebucket_every: int = 1
 
+    # --- incremental (stable-tile) rebucketing ---
+    # Most rebuckets only RELOCATE the few percent of particles whose home
+    # block changed (the reference's add_advection bucket update,
+    # particle_buffer.cuh:100-135) instead of re-sorting every slot; a full
+    # sort/compaction runs every ``defrag_every``-th rebucket to heal tile
+    # fragmentation.  defrag_every=1 disables the incremental path.
+    # mover_capacity_frac sizes the per-rebucket mover buffer; overflow
+    # movers are DEFERRED to the next rebucket (kept simulating in their old
+    # tile, which the arena drift tolerance covers for one window), not lost.
+    defrag_every: int = 8
+    mover_capacity_frac: float = 0.125
+
     @cached_property
     def precision(self):
         """jax.lax.Precision for the transfer contractions."""

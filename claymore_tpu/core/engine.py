@@ -164,7 +164,7 @@ def substep_impl(
         extra_mask = comm.halo_mass_mask(halo_slabs)
 
     def _plan(models):
-        """Fresh tile plan: sort + slot permutation per model."""
+        """Full tile plan (defrag): sort + slot permutation per model."""
         permuted, tile_keys, droppeds = [], [], []
         for m in models:
             plan = part.plan_tiles(cfg, m.pos, m.active, m.tiles.block.shape[0])
@@ -173,6 +173,29 @@ def substep_impl(
             tile_keys.append(part.tile_keys_from_slots(cfg, key_perm, plan.valid))
             droppeds.append(plan.dropped)
         return tuple(permuted), tuple(tile_keys), tuple(droppeds)
+
+    def _incremental(models):
+        """Stable-tile rebucket: relocate only home-block changers."""
+        n3 = cfg.grid_size ** 3
+        out_m, out_k, out_d = [], [], []
+        for m in models:
+            tk_old = jnp.where(
+                m.tiles.tvalid, part.flatten_key(cfg, m.tiles.bcoord), n3
+            ).astype(jnp.int32)
+            m2, tk2, deferred = part.incremental_plan(cfg, m, tk_old)
+            out_m.append(m2)
+            out_k.append(tk2)
+            out_d.append(deferred)
+        return tuple(out_m), tuple(out_k), tuple(out_d)
+
+    def _rebucket(models):
+        """Every defrag_every-th rebuild runs the full sort; the rest run
+        the incremental mover-only path."""
+        if cfg.defrag_every <= 1:
+            return _plan(models)
+        rb_index = (state.step + 1) // max(k_every, 1)
+        do_full = (rb_index % cfg.defrag_every) == 0
+        return jax.lax.cond(do_full, _plan, _incremental, models)
 
     def _stale(models):
         """Keep the current slot layout; reuse each tile's home-block key."""
@@ -186,7 +209,7 @@ def substep_impl(
         return tuple(models), tile_keys, droppeds
 
     if k_every == 1:
-        new_models, tile_keys, droppeds = _plan(tuple(new_models))
+        new_models, tile_keys, droppeds = _rebucket(tuple(new_models))
         partition, next_pool = part.rebuild(
             cfg, next_pool, state.partition, tile_keys, extra_mask=extra_mask,
         )
@@ -200,7 +223,7 @@ def substep_impl(
         # neighbor contributions through the null block on skip substeps
         # (mass loss).  Only the particle sort/permutation is amortized.
         new_models, tile_keys, droppeds = jax.lax.cond(
-            do_rebuild, _plan, _stale, tuple(new_models)
+            do_rebuild, _rebucket, _stale, tuple(new_models)
         )
         partition, next_pool = part.rebuild(
             cfg, next_pool, state.partition, tile_keys, extra_mask=extra_mask,
@@ -212,7 +235,7 @@ def substep_impl(
     else:
         def _rebuild(ops):
             pool, models = ops
-            models, tile_keys, droppeds = _plan(models)
+            models, tile_keys, droppeds = _rebucket(models)
             partition, pool = part.rebuild(
                 cfg, pool, state.partition, tile_keys, extra_mask=extra_mask,
             )
