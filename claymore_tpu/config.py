@@ -65,16 +65,32 @@ class SimConfig:
     rebucket_every: int = 1
 
     # --- incremental (stable-tile) rebucketing ---
-    # Most rebuckets only RELOCATE the few percent of particles whose home
-    # block changed (the reference's add_advection bucket update,
+    # Most rebuckets only RELOCATE the particles whose home block changed
+    # (the reference's add_advection bucket update,
     # particle_buffer.cuh:100-135) instead of re-sorting every slot; a full
     # sort/compaction runs every ``defrag_every``-th rebucket to heal tile
     # fragmentation.  defrag_every=1 disables the incremental path.
     # mover_capacity_frac sizes the per-rebucket mover buffer; overflow
     # movers are DEFERRED to the next rebucket (kept simulating in their old
     # tile, which the arena drift tolerance covers for one window), not lost.
-    defrag_every: int = 8
+    #
+    # DEFAULT OFF: on TPU, scatter costs ~75 ns/index (measured v5e) while
+    # the full sort's row gather moves 1.65M rows in ~9 ms, so the sparse
+    # path only wins for low-churn scenes (<~2% movers per window, e.g.
+    # settled granular beds) — synchronized motion (a falling body) makes
+    # 10-25% of particles change blocks in the same window and the scatter
+    # path loses outright (docs/benchmarks.md, round 2).
+    defrag_every: int = 1
     mover_capacity_frac: float = 0.125
+
+    # --- Pallas kernel launch shape ---
+    # Tiles processed per kernel program (grid step).  Amortizes the fixed
+    # per-program cost (~1.8us measured on v5e) and lets the per-particle
+    # material/SVD math batch over [chunk, tile]-shaped components, filling
+    # the VPU's (8, 128) registers across sublanes instead of using one
+    # sublane per [tile] vector.  Clamped to gcd(chunk, num_tiles) at call
+    # time so any tile count stays valid.
+    pallas_chunk: int = 8
 
     @cached_property
     def precision(self):

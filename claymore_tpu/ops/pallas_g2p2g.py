@@ -105,7 +105,7 @@ def arenas_to_block_rows(cfg: SimConfig, arenas: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_kernel(cfg: SimConfig, material: Material, tile: int,
-                 field_widths: Tuple[Tuple[str, int], ...]):
+                 field_widths: Tuple[Tuple[str, int], ...], chunk: int):
     bs = cfg.block_size
     d_inv = cfg.d_inv
     mass = material.mass
@@ -120,10 +120,11 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         key_ref,       # i32[T] home-block flat key (n3 = unused tile)
         dt_ref,        # f32[1]
         ndt_ref,       # f32[1]
-        # streamed per-tile blocks
-        arena_ref,     # f32[1, 3C, C^2] grid velocities, rows (c, x), lanes (y, z)
-        pos_ref,       # f32[3, tile]
-        act_ref,       # i32[1, tile]
+        # streamed blocks (``chunk`` tiles per grid step — amortizes the
+        # fixed per-program cost, measured ~1.8us each, round 2)
+        arena_ref,     # f32[chunk, 3C, C^2] grid vel, rows (c, x), lanes (y, z)
+        pos_ref,       # f32[3, chunk, tile]
+        act_ref,       # i32[1, chunk, tile]
         *rest,
     ):
         t = pl.program_id(0)
@@ -136,11 +137,15 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         dtype = jnp.float32
         dt = dt_ref[0]
         next_dt = ndt_ref[0]
-        key = key_ref[t]
-        tv = key < n3
+        keys = [key_ref[t * chunk + i] for i in range(chunk)]
+        alive = keys[0] < n3
+        for k in keys[1:]:
+            alive = alive | (k < n3)
 
-        def _compute():
-            pos = pos_ref[:]                          # [3, tile]
+        def _g2p_tile(i):
+            """G2P for sub-tile i: velocity + affine-velocity columns."""
+            key = keys[i]
+            pos = pos_ref[:, i, :]                    # [3, tile]
             base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
             kc = jnp.minimum(key, n3 - 1)
             origin = (jnp.stack(
@@ -164,7 +169,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             # (one [3C, C^2] @ [C^2, 3t] matmul replaces the per-axis chain
             # whose [3, C, C, t] broadcast-reduce stages dominated the kernel
             # on the VPU — measured, round 2)
-            vflat = arena_ref[0]                      # [3C (c,x), C^2 (y,z)]
+            vflat = arena_ref[i]                      # [3C (c,x), C^2 (y,z)]
             wyz = (wy[:, None, :] * wz[None, :, :]).reshape(cells * cells, tile)
             myz = (my[:, None, :] * wz[None, :, :]).reshape(cells * cells, tile)
             wmz = (wy[:, None, :] * mz[None, :, :]).reshape(cells * cells, tile)
@@ -180,34 +185,25 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             col2 = jnp.sum(g2 * wx_b, axis=1)         # z-moment
             cols = (col0, col1, col2)
             a_soa = tuple(cols[c][r] for r in range(3) for c in range(3))
+            return pos, origin, vel, a_soa, in_range
 
-            # --- material update (SoA component math on [tile] lanes) ---
-            fields = {}
-            for (name, w_), ref in zip(field_widths, field_refs):
-                fields[name] = ref[:] if w_ > 1 else ref[0, :]
-            new_fields, contrib = material.update(d_inv, dt, a_soa, fields)
-
+        def _p2g_tile(i, pos, origin, vel, a_soa, in_range, contrib_i):
+            """P2G for sub-tile i at the advected position, same arena."""
             new_pos = pos + vel * dt
-            out_pos_ref[:] = new_pos
+            out_pos_ref[:, i, :] = new_pos
 
             q = tuple(
                 (av * mass - cv * next_dt) * d_inv
-                for av, cv in zip(a_soa, contrib)
+                for av, cv in zip(a_soa, contrib_i)
             )
 
-            # --- P2G at the advected position, same arena ---
             base2 = jnp.floor(new_pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
             rel2 = base2 - origin
             li2 = jnp.clip(rel2, 0, cells - 3)
             in_range2 = jnp.all((rel2 >= 0) & (rel2 <= cells - 3), axis=0)
-            ok = (act_ref[0, :] > 0) & in_range & in_range2
-            out_act_ref[0, :] = ok.astype(jnp.int32)
-            for (name, w_), oref in zip(field_widths, out_field_refs):
-                v = new_fields[name]
-                if w_ > 1:
-                    oref[:] = v
-                else:
-                    oref[0, :] = v
+            tvf = (keys[i] < n3)
+            ok = (act_ref[0, i, :] > 0) & in_range & in_range2 & tvf
+            out_act_ref[0, i, :] = ok.astype(jnp.int32)
 
             ws2, ms2 = [], []
             for ax in range(3):
@@ -242,19 +238,55 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             r = (uz[:, None, :] * sv[None, :, :]).reshape(
                 cells * 4, 4 * tile)
             aout = _dotp(cfg, e, r.T)
-            out_arena_ref[0] = aout                   # [(x,y), (z,c)]
+            out_arena_ref[i] = aout                   # [(x,y), (z,c)]
 
-        def _dead_tile():
-            # padding tile: no transfer work; outputs must stay well-defined
-            out_arena_ref[0] = jnp.zeros_like(out_arena_ref[0])
-            out_act_ref[0, :] = jnp.zeros_like(out_act_ref[0, :])
+        def _compute():
+            per_tile = [_g2p_tile(i) for i in range(chunk)]
+
+            # --- material update, batched over the chunk: per-particle SoA
+            # math (incl. the Jacobi/Givens SVD) runs on [chunk, tile]
+            # components — ``chunk`` sublanes instead of 1, the VPU's (8, 128)
+            # registers actually filled (measured 8x waste at [tile], rnd 2) ---
+            a_batched = tuple(
+                jnp.stack([per_tile[i][3][r] for i in range(chunk)], axis=0)
+                for r in range(9)
+            )
+            fields = {}
+            for (name, w_), ref in zip(field_widths, field_refs):
+                fields[name] = ref[:] if w_ > 1 else ref[0]  # [.., chunk, tile]
+            new_fields, contrib = material.update(d_inv, dt, a_batched, fields)
+
+            # dead sub-tiles keep their input fields (padding must be inert)
+            # (i32 mask: Mosaic can't minor-dim-reshape 1-bit vectors)
+            tvb = jnp.stack(
+                [(k < n3).astype(jnp.int32) for k in keys], axis=0
+            )[:, None] > 0                                        # [chunk, 1]
+            for (name, w_), oref, iref in zip(field_widths, out_field_refs,
+                                              field_refs):
+                v = new_fields[name]
+                old = iref[:] if w_ > 1 else iref[0]
+                v = jnp.where(tvb if w_ == 1 else tvb[None], v, old)
+                if w_ > 1:
+                    oref[:] = v
+                else:
+                    oref[0] = v
+
+            for i in range(chunk):
+                pos, origin, vel, a_soa, in_range = per_tile[i]
+                contrib_i = tuple(c[i] for c in contrib)
+                _p2g_tile(i, pos, origin, vel, a_soa, in_range, contrib_i)
+
+        def _dead_program():
+            # all-padding program: no transfer work; outputs stay well-defined
+            out_arena_ref[:] = jnp.zeros_like(out_arena_ref[:])
+            out_act_ref[:] = jnp.zeros_like(out_act_ref[:])
             out_pos_ref[:] = pos_ref[:]
             for (_name, w_), oref, iref in zip(field_widths, out_field_refs,
                                                field_refs):
                 oref[:] = iref[:]
 
-        pl.when(tv)(_compute)
-        pl.when(jnp.logical_not(tv))(_dead_tile)
+        pl.when(alive)(_compute)
+        pl.when(jnp.logical_not(alive))(_dead_program)
 
     return kernel
 
@@ -271,10 +303,21 @@ def g2p2g_pallas(
     interpret: bool = False,
 ) -> Tuple[ParticleModel, jnp.ndarray]:
     """Drop-in replacement for core.transfer.g2p2g_model on TPU."""
+    import math as _math
+
     tm = model.tiles
     num_tiles = tm.block.shape[0]
     tile = cfg.particle_tile
     bs = cfg.block_size
+    # Mosaic requires the second-to-last block dim to be a multiple of 8 or
+    # equal to the full array dim, so chunk is pallas_chunk when it divides
+    # the tile count, else the largest valid multiple of 8, else all tiles
+    # in one program (small models only).
+    chunk = cfg.pallas_chunk
+    if num_tiles % chunk != 0 or chunk % 8 != 0:
+        chunk = _math.gcd(num_tiles, 8 * 64)
+        if chunk % 8 != 0:
+            chunk = num_tiles
 
     nb_slot = neighbor_slots(cfg, table, tm.bcoord)
     nb_slot = jnp.where(tm.tvalid[:, None], nb_slot, cfg.null_block).astype(jnp.int32)
@@ -291,52 +334,55 @@ def g2p2g_pallas(
     field_widths = tuple(
         (k, v.shape[0] if v.ndim > 1 else 1) for k, v in model.fields.items()
     )
-    kernel = _make_kernel(cfg, material, tile, field_widths)
+    kernel = _make_kernel(cfg, material, tile, field_widths, chunk)
 
-    smap = lambda t, *pref: (0, t)
+    # particle arrays viewed [w, T, tile] so each program streams
+    # ``chunk`` tiles (block = (w, chunk, tile)) and sub-tile slicing in
+    # the kernel is a pure middle-dim index
+    smap = lambda t, *pref: (0, t, 0)
     _cc = cfg.arena_cells
     in_specs = [
-        pl.BlockSpec((1, 3 * _cc, _cc * _cc), lambda t, *pref: (t, 0, 0),
+        pl.BlockSpec((chunk, 3 * _cc, _cc * _cc), lambda t, *pref: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile), smap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile), smap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM),
     ]
     inputs = [
         arenas_in,
-        model.pos,
-        model.active.astype(jnp.int32)[None, :],
+        model.pos.reshape(3, num_tiles, tile),
+        model.active.astype(jnp.int32).reshape(1, num_tiles, tile),
     ]
     for k, v in model.fields.items():
         w = v.shape[0] if v.ndim > 1 else 1
         in_specs.append(
-            pl.BlockSpec((w, tile), smap, memory_space=pltpu.VMEM)
+            pl.BlockSpec((w, chunk, tile), smap, memory_space=pltpu.VMEM)
         )
-        inputs.append(v if v.ndim > 1 else v[None, :])
+        inputs.append(v.reshape(w, num_tiles, tile))
 
     s_cap = model.pos.shape[1]
     cc = cfg.arena_cells
     out_shapes = [
-        jax.ShapeDtypeStruct((3, s_cap), jnp.float32),               # pos
+        jax.ShapeDtypeStruct((3, num_tiles, tile), jnp.float32),     # pos
         jax.ShapeDtypeStruct((num_tiles, cc * cc, cc * 4), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((3, tile), smap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cc * cc, cc * 4), lambda t, *pref: (t, 0, 0),
+        pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, cc * cc, cc * 4), lambda t, *pref: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for k, w in field_widths:
-        out_shapes.append(jax.ShapeDtypeStruct((w, s_cap), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((w, num_tiles, tile), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((w, tile), smap, memory_space=pltpu.VMEM)
+            pl.BlockSpec((w, chunk, tile), smap, memory_space=pltpu.VMEM)
         )
-    out_shapes.append(jax.ShapeDtypeStruct((1, s_cap), jnp.int32))   # active
+    out_shapes.append(jax.ShapeDtypeStruct((1, num_tiles, tile), jnp.int32))
     out_specs.append(
-        pl.BlockSpec((1, tile), smap, memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM)
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(num_tiles // chunk,),
         in_specs=in_specs,
         out_specs=out_specs,
     )
@@ -352,14 +398,14 @@ def g2p2g_pallas(
         *inputs,
     )
 
-    new_pos, arenas = outs[0], outs[1]
+    new_pos, arenas = outs[0].reshape(3, s_cap), outs[1]
     nf = len(field_widths)
     new_field_arrays = outs[2 : 2 + nf]
-    new_active = outs[2 + nf][0] > 0
+    new_active = outs[2 + nf].reshape(s_cap) > 0
 
     fields_out = {}
     for (k, w), arr in zip(field_widths, new_field_arrays):
-        fields_out[k] = arr if w > 1 else arr[0]
+        fields_out[k] = arr.reshape(w, s_cap) if w > 1 else arr.reshape(s_cap)
 
     blocks = arenas_to_block_rows(cfg, arenas)
     next_pool = next_pool.at[nb_slot.reshape(-1)].add(blocks)
