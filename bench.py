@@ -26,7 +26,7 @@ def build(scene: str, quick: bool):
     from claymore_tpu.io.sampler import sample_uniform_box_world, sample_sphere
 
     cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=8192, default_dt=1e-4,
-                        rebucket_every=2)
+                        rebucket_auto=True, pallas_chunk=16)
     vol = cfg.default_volume()
     span = 0.12 if quick else 0.2
     lo, hi = 0.4 - span / 2, 0.4 + span / 2
@@ -40,7 +40,8 @@ def build(scene: str, quick: bool):
         # BASELINE.md flagship: ~25M-particle elastic sphere, 256^3 grid
         # (the reference demonstrates 5-40M on one GPU, README.md:32)
         cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=131072,
-                            default_dt=1e-4, rebucket_every=2)
+                            default_dt=1e-4, rebucket_auto=True,
+                            pallas_chunk=16)
         vol = cfg.default_volume()
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
         parts = [sample_sphere(cfg.dx, (0.5, 0.55, 0.5), 0.3547, cfg.ppc)]

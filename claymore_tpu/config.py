@@ -83,6 +83,22 @@ class SimConfig:
     defrag_every: int = 1
     mover_capacity_frac: float = 0.125
 
+    # --- drift-triggered (auto) rebucketing, single chip ---
+    # Rebuild buckets/partition only when some particle could leave its
+    # tile's transfer arena on the next substep, instead of on a fixed
+    # schedule.  The per-substep margin check is one elementwise pass +
+    # min-reduce over positions; the rebuild itself (sort + permutation
+    # gather + partition rebuild, ~25 ms at 1M on v5e) then amortizes over
+    # the ACTUAL drift rate — scenes far below the CFL bound rebuild every
+    # tens of substeps rather than every K.  Mis-prediction is loud, not
+    # silent: particles that leave the arena are deactivated and counted
+    # (TileMap.dropped / kernel ok-mask).  ``rebucket_safety`` scales the
+    # estimated next-step drift (next_dt * max_vel) to absorb acceleration
+    # between substeps.  Multi-chip engines ignore this flag (their halo
+    # margin/migration cadence is tied to the static rebucket_every).
+    rebucket_auto: bool = False
+    rebucket_safety: float = 2.0
+
     # --- Pallas kernel launch shape ---
     # Tiles processed per kernel program (grid step).  Amortizes the fixed
     # per-program cost (~1.8us measured on v5e) and lets the per-particle

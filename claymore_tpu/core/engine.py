@@ -145,9 +145,21 @@ def substep_impl(
     # (reference rebuilds every substep; K>1 amortizes the sort+permute
     # chain under the drift-tolerant 4^3 arena)
     k_every = cfg.rebucket_every
-    do_rebuild = (
-        jnp.bool_(True) if k_every == 1 else ((state.step + 1) % k_every == 0)
-    )
+    auto = cfg.rebucket_auto and comm is None
+    if auto:
+        # drift-triggered: rebuild when the next advection could push some
+        # particle past its tile's arena bound (margin measured on the
+        # freshly advected positions, stale tile metadata)
+        margin = jnp.inf
+        for m in new_models:
+            margin = jnp.minimum(margin, part.arena_margin(cfg, m))
+        drift_next = next_dt * jnp.sqrt(max_vel_sqr) * cfg.dx_inv
+        do_rebuild = margin <= drift_next * cfg.rebucket_safety + 1e-3
+    else:
+        do_rebuild = (
+            jnp.bool_(True) if k_every == 1
+            else ((state.step + 1) % k_every == 0)
+        )
 
     extra_mask = None
     halo_slabs = None
@@ -208,7 +220,7 @@ def substep_impl(
         droppeds = tuple(m.tiles.dropped for m in models)
         return tuple(models), tile_keys, droppeds
 
-    if k_every == 1:
+    if k_every == 1 and not auto:
         new_models, tile_keys, droppeds = _rebucket(tuple(new_models))
         partition, next_pool = part.rebuild(
             cfg, next_pool, state.partition, tile_keys, extra_mask=extra_mask,

@@ -194,6 +194,30 @@ def apply_slot_permutation(model, plan: TilePlan):
     )
 
 
+def arena_margin(cfg: SimConfig, model) -> jnp.ndarray:
+    """Minimum distance in cells (can go negative) of any active particle
+    to its tile's transfer-arena bound.
+
+    The B-spline base cell is floor(x/dx - 0.5); the transfer requires
+    base - origin in [0, arena_cells - 3] (transfer.py in_range), i.e. the
+    continuous coordinate c = x/dx - 0.5 - origin in [0, arena_cells - 2).
+    The margin is min(c, arena_cells - 2 - c) over active particles and
+    axes: how many cells of further drift the current bucketing tolerates.
+    Drives drift-triggered rebucketing (SimConfig.rebucket_auto) — the
+    reference instead rebuilds every substep unconditionally
+    (gmpm_simulator.cuh:429-570).
+    """
+    tm = model.tiles
+    t = tm.bcoord.shape[1]
+    tile = cfg.particle_tile
+    origin = (tm.bcoord + cfg.arena_lo) * cfg.block_size            # [3, T]
+    c = (model.pos.reshape(3, t, tile) * cfg.dx_inv - 0.5
+         - origin[:, :, None].astype(jnp.float32))
+    m = jnp.minimum(c, (cfg.arena_cells - 2) - c)
+    live = model.active.reshape(1, t, tile) & tm.tvalid[None, :, None]
+    return jnp.min(jnp.where(live, m, jnp.inf))
+
+
 def incremental_plan(cfg: SimConfig, model, tile_keys: jnp.ndarray):
     """Stable-tile rebucket: relocate only the particles whose home block
     left their tile's block (the reference's add_advection bucket update,

@@ -1,0 +1,99 @@
+"""Drift-triggered rebucketing (SimConfig.rebucket_auto): rebuilds fire only
+when the arena margin demands, and the physics matches the every-step
+pipeline (the reference rebuilds unconditionally each substep,
+gmpm_simulator.cuh:429-570; the arena drift tolerance makes that cadence a
+policy choice, not a correctness requirement)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import claymore_tpu as cmt
+from claymore_tpu.core import partition as part
+from claymore_tpu.io.sampler import sample_uniform_box_world
+
+
+def _by_pid(state):
+    m = state.models[0]
+    act = np.asarray(m.active)
+    pid = np.asarray(m.pid)[act]
+    pos = np.asarray(m.pos).T[act]
+    out = np.zeros((pid.max() + 1, 3), np.float64)
+    out[pid] = pos
+    return out
+
+
+def test_auto_matches_every_step():
+    base = dict(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
+    cfg1 = cmt.SimConfig(**base)
+    cfga = cmt.SimConfig(**base, rebucket_auto=True)
+    mat = cmt.FixedCorotated(volume=cfg1.default_volume(), e=1e4, nu=0.3)
+    pos = sample_uniform_box_world(cfg1.dx, [0.4] * 3, [0.58] * 3, cfg1.ppc)
+
+    e1 = cmt.MPMEngine(cfg1, [mat], tile_chunk=4)
+    ea = cmt.MPMEngine(cfga, [mat], tile_chunk=4)
+    v0 = (0.3, -0.4, 0.1)
+    s1 = e1.init_state([pos], [v0])
+    sa = ea.init_state([pos], [v0])
+
+    fe = jnp.float32(1.0)
+    for _ in range(25):
+        s1 = e1.substep(s1, fe)
+        sa = ea.substep(sa, fe)
+
+    d1 = e1.diagnostics(s1)
+    da = ea.diagnostics(sa)
+    assert da["model0_active"] == pos.shape[0], "auto path lost particles"
+    assert da["model0_dropped_tiles"] == 0
+    assert da["null_block_mass"] == 0.0
+    assert abs(d1["grid_mass"] - da["grid_mass"]) < 1e-4 * d1["grid_mass"]
+
+    p1 = _by_pid(s1)
+    pa = _by_pid(sa)
+    assert p1.shape == pa.shape
+    assert np.max(np.abs(p1 - pa)) < 5e-6
+    assert abs(float(s1.dt) - float(sa.dt)) < 1e-9
+
+
+def test_margin_is_positive_after_rebuild_and_shrinks_with_drift():
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4,
+                        rebucket_auto=True)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos = sample_uniform_box_world(cfg.dx, [0.4] * 3, [0.58] * 3, cfg.ppc)
+    eng = cmt.MPMEngine(cfg, [mat], tile_chunk=4)
+    state = eng.init_state([pos], [(0.5, -0.6, 0.2)])
+
+    m0 = float(part.arena_margin(cfg, state.models[0]))
+    assert 0.0 < m0 <= cfg.arena_cells, m0
+
+    fe = jnp.float32(1.0)
+    state = eng.substep(state, fe)
+    # after one substep of drift the margin can only have shrunk or been
+    # reset by a rebuild; it must never be allowed to go negative while
+    # particles stay active
+    m1 = float(part.arena_margin(cfg, state.models[0]))
+    assert m1 > 0.0
+    assert eng.diagnostics(state)["model0_active"] == pos.shape[0]
+
+
+def test_auto_skips_rebuilds_for_slow_scenes():
+    """A slowly-moving body must not rebuild every substep: the slot layout
+    (pid order) stays frozen between rebuilds."""
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256,
+                        default_dt=1e-4, rebucket_auto=True)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e3, nu=0.3)
+    pos = sample_uniform_box_world(cfg.dx, [0.4] * 3, [0.55] * 3, cfg.ppc)
+    eng = cmt.MPMEngine(cfg, [mat], tile_chunk=4)
+    state = eng.init_state([pos], [(0.05, -0.05, 0.0)])
+
+    fe = jnp.float32(1.0)
+    prev_pid = np.asarray(state.models[0].pid)
+    same = 0
+    for _ in range(10):
+        state = eng.substep(state, fe)
+        cur = np.asarray(state.models[0].pid)
+        if np.array_equal(cur, prev_pid):
+            same += 1
+        prev_pid = cur
+    assert same >= 8, f"auto mode rebuilt too often ({10 - same}/10 substeps)"
+    assert eng.diagnostics(state)["model0_active"] == pos.shape[0]
