@@ -58,3 +58,17 @@ def test_package_exports():
                  "NACC", "HalfSpace", "Sphere", "Box", "SignedDistanceCollider",
                  "RigidMotion", "SimState", "Partition"):
         assert hasattr(cmt, name), name
+
+
+def test_distributed_pod_mesh():
+    """Multi-host helpers degrade gracefully on a single process and build
+    meshes over the local (virtual) device set."""
+    import jax
+    from claymore_tpu.parallel import distributed
+
+    assert distributed.init_multihost() is False  # no coordinator configured
+    m = distributed.pod_mesh((4, 2), ("x", "z"))
+    assert m.devices.shape == (4, 2)
+    assert m.axis_names == ("x", "z")
+    m1 = distributed.pod_mesh((2,), ("x",))
+    assert m1.devices.shape == (2,)
