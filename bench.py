@@ -25,8 +25,11 @@ def build(scene: str, quick: bool):
     import claymore_tpu as cmt
     from claymore_tpu.io.sampler import sample_uniform_box_world, sample_sphere
 
+    # particle_tile=512 ~= one tile per occupied block (~8 ppc * 64 cells):
+    # arena traffic per tile is fixed, so fewer tiles = less HBM glue
+    # (measured 70 -> 75 Mpps at 1M on v5e, round 2)
     cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=8192, default_dt=1e-4,
-                        rebucket_auto=True, pallas_chunk=16)
+                        rebucket_auto=True, pallas_chunk=16, particle_tile=512)
     vol = cfg.default_volume()
     span = 0.12 if quick else 0.2
     lo, hi = 0.4 - span / 2, 0.4 + span / 2
@@ -38,13 +41,26 @@ def build(scene: str, quick: bool):
         v0s = [(0.0, -0.5, 0.0)]
     elif scene == "sphere25m":
         # BASELINE.md flagship: ~25M-particle elastic sphere, 256^3 grid
-        # (the reference demonstrates 5-40M on one GPU, README.md:32)
-        cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=131072,
+        # (the reference demonstrates 5-40M on one GPU, README.md:32).
+        # Capacities are sized from the sampled model: the generic tiles_for
+        # heuristic would allocate ~35% dead tiles, and at 25M that is GBs
+        # of HBM and tens of ms of arena traffic per step.
+        import dataclasses
+
+        cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=65536,
                             default_dt=1e-4, rebucket_auto=True,
-                            pallas_chunk=16)
+                            pallas_chunk=16, particle_tile=512)
+        pos = sample_sphere(cfg.dx, (0.5, 0.55, 0.5), 0.3547, cfg.ppc)
+        g = cfg.grid_size
+        base = np.floor(pos * cfg.dx_inv + 0.5).astype(np.int64) - 1
+        hb = (base - 1) >> cfg.block_bits
+        keys = (hb[:, 0] * g + hb[:, 1]) * g + hb[:, 2]
+        _, counts = np.unique(keys, return_counts=True)
+        need = int(np.ceil(counts / cfg.particle_tile).sum())
+        cfg = dataclasses.replace(cfg, max_tiles=int(need * 1.2))
         vol = cfg.default_volume()
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
-        parts = [sample_sphere(cfg.dx, (0.5, 0.55, 0.5), 0.3547, cfg.ppc)]
+        parts = [pos]
         v0s = [(0.0, -0.5, 0.0)]
     elif scene == "sphere":
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]

@@ -407,9 +407,15 @@ def g2p2g_pallas(
     for (k, w), arr in zip(field_widths, new_field_arrays):
         fields_out[k] = arr.reshape(w, s_cap) if w > 1 else arr.reshape(s_cap)
 
+    # scatter-add on a lane-flat [B, 256] view: the [B, 4, 64] row shape pads
+    # each row to an (8, 128) tile (4x HBM traffic) — measured 5.8 -> 3.8 ms
+    # at 1M particles on v5e (round 2)
     blocks = arenas_to_block_rows(cfg, arenas)
-    next_pool = next_pool.at[nb_slot.reshape(-1)].add(blocks)
-    next_pool = next_pool.at[cfg.null_block].set(0.0)
+    bch = 4 * cfg.block_volume
+    flat = next_pool.reshape(next_pool.shape[0], bch)
+    flat = flat.at[nb_slot.reshape(-1)].add(blocks.reshape(-1, bch))
+    flat = flat.at[cfg.null_block].set(0.0)
+    next_pool = flat.reshape(next_pool.shape[0], 4, cfg.block_volume)
 
     pid_out = jnp.where(new_active, model.pid, s_cap)
     new_model = model._replace(
