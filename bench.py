@@ -1,13 +1,14 @@
 """Benchmark harness — single chip.
 
-Default: BASELINE.md config 1 (GMPM elastic cube, ~1M particles, 256^3
-sparse grid), throughput in million particle-steps per second per chip.
-``vs_baseline`` compares against the reference's single-GPU fused G2P2G
-pipeline at an estimated 250 M particle-steps/s on its Quadro P6000 (the
-repo publishes claims in prose, not tables — see BASELINE.md).
+Default: the BASELINE.md flagship — the ~25M-particle elastic sphere on a
+256^3 sparse grid (the reference demonstrates 5-40M particles on one GPU,
+/root/reference/README.md:32); reports M particle-steps/sec/chip and
+ms/step.  ``vs_baseline`` compares against the reference's single-GPU
+fused G2P2G pipeline at an estimated 250 M particle-steps/s on its Quadro
+P6000 (the repo publishes claims in prose, not tables — see BASELINE.md).
 
-Other BASELINE configs: --scene=dambreak | sand | multimat | sphere.
-Prints exactly one JSON line.
+Other BASELINE configs: --scene=cube (1M elastic cube) | dambreak | sand |
+nacc | multimat | sphere.  Prints exactly one JSON line.
 """
 
 from __future__ import annotations
@@ -108,7 +109,7 @@ def build(scene: str, quick: bool):
 def main():
     quick = "--quick" in sys.argv
     xla_only = "--xla" in sys.argv
-    scene = "cube"
+    scene = "sphere25m"
     for a in sys.argv[1:]:
         if a.startswith("--scene="):
             scene = a.split("=", 1)[1]

@@ -108,6 +108,13 @@ class SimConfig:
     # time so any tile count stays valid.
     pallas_chunk: int = 8
 
+    # Tiles per Pallas dispatch.  Models larger than this run the
+    # gather -> kernel -> scatter pipeline in macro chunks under lax.scan:
+    # the arena relayouts materialize [mt, ...] temporaries whose tiny minor
+    # dims pad up to 32x under the (8, 128) tiling — unchunked at 25M
+    # particles (64k tiles) a single temp is 15.6 GB.
+    pallas_macro_tiles: int = 8192
+
     @cached_property
     def precision(self):
         """jax.lax.Precision for the transfer contractions."""

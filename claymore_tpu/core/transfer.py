@@ -227,9 +227,11 @@ def g2p2g_model(
         arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=cfg.precision)
         arena_out = arena_out.reshape(ct, cells, cells, cells, 4)
 
+        # scatter-add on the lane-flat [B, 4*bv] carry: [B, 4, bv] rows pad
+        # to (8, 128) tiles, 4x the useful HBM traffic (see pallas_g2p2g)
         blocks = _scatter_layout(cfg, arena_out)
         acc = carry[0].at[nb_slot.reshape(-1)].add(
-            blocks.reshape(ct * cfg.arena_span ** 3, 4, cfg.block_volume)
+            blocks.reshape(ct * cfg.arena_span ** 3, 4 * cfg.block_volume)
         )
         return (acc, carry[1]), (new_pos.reshape(3, -1), new_fields_flat,
                                  ok.reshape(-1))
@@ -241,10 +243,12 @@ def g2p2g_model(
         jnp.moveaxis(tm.bcoord.reshape(3, nchunks, tile_chunk), 1, 0),
         nb_slot_all.reshape(nchunks, tile_chunk, cfg.arena_span ** 3),
     )
-    (next_pool, _), (new_pos, new_fields, ok) = jax.lax.scan(
-        chunk, (next_pool, pool_v), xs
+    nb1 = next_pool.shape[0]
+    (next_flat, _), (new_pos, new_fields, ok) = jax.lax.scan(
+        chunk, (next_pool.reshape(nb1, 4 * cfg.block_volume), pool_v), xs
     )
-    next_pool = next_pool.at[cfg.null_block].set(0.0)
+    next_pool = next_flat.at[cfg.null_block].set(0.0).reshape(
+        nb1, 4, cfg.block_volume)
 
     # stitch chunk outputs back into slot-major arrays (pure reshapes/moves)
     pos_out = jnp.moveaxis(new_pos, 0, 1).reshape(3, -1)

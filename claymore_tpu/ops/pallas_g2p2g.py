@@ -329,93 +329,126 @@ def g2p2g_pallas(
         n3,
     ).astype(jnp.int32)
 
-    arenas_in = gather_arenas(cfg, pool_v, nb_slot)
-
     field_widths = tuple(
         (k, v.shape[0] if v.ndim > 1 else 1) for k, v in model.fields.items()
     )
     kernel = _make_kernel(cfg, material, tile, field_widths, chunk)
 
-    # particle arrays viewed [w, T, tile] so each program streams
-    # ``chunk`` tiles (block = (w, chunk, tile)) and sub-tile slicing in
-    # the kernel is a pure middle-dim index
-    smap = lambda t, *pref: (0, t, 0)
-    _cc = cfg.arena_cells
-    in_specs = [
-        pl.BlockSpec((chunk, 3 * _cc, _cc * _cc), lambda t, *pref: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM),
-    ]
-    inputs = [
-        arenas_in,
-        model.pos.reshape(3, num_tiles, tile),
-        model.active.astype(jnp.int32).reshape(1, num_tiles, tile),
-    ]
-    for k, v in model.fields.items():
-        w = v.shape[0] if v.ndim > 1 else 1
-        in_specs.append(
-            pl.BlockSpec((w, chunk, tile), smap, memory_space=pltpu.VMEM)
-        )
-        inputs.append(v.reshape(w, num_tiles, tile))
+    # Large models run the gather -> kernel -> scatter pipeline over macro
+    # chunks of tiles under lax.scan: the arena relayout materializes a
+    # [mt, 2,2,2, 4,4,4,4] intermediate whose (4, 4) minor dims pad 32x
+    # under the (8, 128) tiling — at 25M particles (64k tiles) that is
+    # 15.6 GB for one temp.  Chunking bounds every [mt, ...] temp.
+    macro = num_tiles
+    if num_tiles > cfg.pallas_macro_tiles:
+        n_macro = -(-num_tiles // cfg.pallas_macro_tiles)
+        while (num_tiles % n_macro != 0
+               or (num_tiles // n_macro) % chunk != 0):
+            n_macro += 1
+        macro = num_tiles // n_macro
 
     s_cap = model.pos.shape[1]
     cc = cfg.arena_cells
-    out_shapes = [
-        jax.ShapeDtypeStruct((3, num_tiles, tile), jnp.float32),     # pos
-        jax.ShapeDtypeStruct((num_tiles, cc * cc, cc * 4), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((chunk, cc * cc, cc * 4), lambda t, *pref: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    for k, w in field_widths:
-        out_shapes.append(jax.ShapeDtypeStruct((w, num_tiles, tile), jnp.float32))
+    bch = 4 * cfg.block_volume
+
+    def run_macro(flat_pool, inp):
+        """One pallas dispatch over ``macro`` tiles; carry = flat next pool."""
+        keys_m, nbs_m, pos_m, act_m, fields_m = inp
+        arenas_in = gather_arenas(cfg, pool_v, nbs_m)
+
+        smap = lambda t, *pref: (0, t, 0)
+        in_specs = [
+            pl.BlockSpec((chunk, 3 * cc, cc * cc), lambda t, *pref: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM),
+        ]
+        inputs = [arenas_in, pos_m, act_m]
+        for (k, w) in field_widths:
+            in_specs.append(
+                pl.BlockSpec((w, chunk, tile), smap, memory_space=pltpu.VMEM)
+            )
+            inputs.append(fields_m[k])
+
+        out_shapes = [
+            jax.ShapeDtypeStruct((3, macro, tile), jnp.float32),     # pos
+            jax.ShapeDtypeStruct((macro, cc * cc, cc * 4), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, cc * cc, cc * 4), lambda t, *pref: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        for k, w in field_widths:
+            out_shapes.append(jax.ShapeDtypeStruct((w, macro, tile), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((w, chunk, tile), smap, memory_space=pltpu.VMEM)
+            )
+        out_shapes.append(jax.ShapeDtypeStruct((1, macro, tile), jnp.int32))
         out_specs.append(
-            pl.BlockSpec((w, chunk, tile), smap, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM)
         )
-    out_shapes.append(jax.ShapeDtypeStruct((1, num_tiles, tile), jnp.int32))
-    out_specs.append(
-        pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM)
-    )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_tiles // chunk,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(
-        tile_key,
-        jnp.full((1,), 0.0, jnp.float32) + dt,
-        jnp.full((1,), 0.0, jnp.float32) + next_dt,
-        *inputs,
-    )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(macro // chunk,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(
+            keys_m,
+            jnp.full((1,), 0.0, jnp.float32) + dt,
+            jnp.full((1,), 0.0, jnp.float32) + next_dt,
+            *inputs,
+        )
 
-    new_pos, arenas = outs[0].reshape(3, s_cap), outs[1]
-    nf = len(field_widths)
-    new_field_arrays = outs[2 : 2 + nf]
-    new_active = outs[2 + nf].reshape(s_cap) > 0
+        # scatter-add on a lane-flat [B, 256] view: [B, 4, 64] rows pad to
+        # (8, 128) tiles, 4x the useful HBM traffic (measured 5.8 -> 3.8 ms
+        # at 1M on v5e, round 2)
+        blocks = arenas_to_block_rows(cfg, outs[1])
+        flat_pool = flat_pool.at[nbs_m.reshape(-1)].add(
+            blocks.reshape(-1, bch))
+        nf = len(field_widths)
+        return flat_pool, (outs[0], tuple(outs[2 : 2 + nf]), outs[2 + nf])
+
+    flat0 = next_pool.reshape(next_pool.shape[0], bch)
+    xs = (
+        tile_key.reshape(-1, macro),
+        nb_slot.reshape(-1, macro, nb_slot.shape[1]),
+        jnp.moveaxis(model.pos.reshape(3, -1, macro, tile), 1, 0),
+        jnp.moveaxis(
+            model.active.astype(jnp.int32).reshape(1, -1, macro, tile), 1, 0),
+        {
+            k: jnp.moveaxis(
+                v.reshape(v.shape[0] if v.ndim > 1 else 1, -1, macro, tile),
+                1, 0)
+            for k, v in model.fields.items()
+        },
+    )
+    if macro == num_tiles:
+        flat, (pos_o, fields_o, act_o) = run_macro(
+            flat0, jax.tree.map(lambda x: x[0], xs))
+        new_pos = pos_o.reshape(3, s_cap)
+        new_field_arrays = [a for a in fields_o]
+        new_active = act_o.reshape(s_cap) > 0
+    else:
+        flat, (pos_s, fields_s, act_s) = jax.lax.scan(run_macro, flat0, xs)
+        new_pos = jnp.moveaxis(pos_s, 0, 1).reshape(3, s_cap)
+        new_field_arrays = [jnp.moveaxis(a, 0, 1).reshape(a.shape[1], s_cap)
+                            for a in fields_s]
+        new_active = jnp.moveaxis(act_s, 0, 1).reshape(s_cap) > 0
+
+    flat = flat.at[cfg.null_block].set(0.0)
+    next_pool = flat.reshape(next_pool.shape[0], 4, cfg.block_volume)
 
     fields_out = {}
     for (k, w), arr in zip(field_widths, new_field_arrays):
         fields_out[k] = arr.reshape(w, s_cap) if w > 1 else arr.reshape(s_cap)
-
-    # scatter-add on a lane-flat [B, 256] view: the [B, 4, 64] row shape pads
-    # each row to an (8, 128) tile (4x HBM traffic) — measured 5.8 -> 3.8 ms
-    # at 1M particles on v5e (round 2)
-    blocks = arenas_to_block_rows(cfg, arenas)
-    bch = 4 * cfg.block_volume
-    flat = next_pool.reshape(next_pool.shape[0], bch)
-    flat = flat.at[nb_slot.reshape(-1)].add(blocks.reshape(-1, bch))
-    flat = flat.at[cfg.null_block].set(0.0)
-    next_pool = flat.reshape(next_pool.shape[0], 4, cfg.block_volume)
 
     pid_out = jnp.where(new_active, model.pid, s_cap)
     new_model = model._replace(

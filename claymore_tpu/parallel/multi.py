@@ -492,17 +492,17 @@ class MultiChipEngine:
         pool = np.asarray(state.grid).reshape(nd, -1, 4, cfg.block_volume)
         keys = np.asarray(state.partition.keys).reshape(nd, -1)
         counts = np.asarray(state.partition.count).reshape(nd)
-        mass = 0.0
-        mom = np.zeros(3)
-        seen = set()
-        for d in range(nd):
-            for s in range(counts[d]):
-                k = int(keys[d, s])
-                if k in seen:
-                    continue
-                seen.add(k)
-                mass += pool[d, s, 0].sum()
-                mom += pool[d, s, 1:4].sum(axis=-1)
+        nb = keys.shape[1]
+        live = (np.arange(nb)[None, :] < counts[:, None]).reshape(-1)
+        flat_keys = np.where(live, keys.reshape(-1), -1)
+        # keep the first live copy of each global key (vectorized dedup)
+        _, first = np.unique(flat_keys, return_index=True)
+        sel = np.zeros(nd * nb, bool)
+        sel[first] = True
+        sel &= live
+        rows = pool[:, :nb].reshape(nd * nb, 4, cfg.block_volume)[sel]
+        mass = float(rows[:, 0].sum())
+        mom = rows[:, 1:4].sum(axis=(0, 2))
         out = {
             "grid_mass": float(mass),
             "grid_momentum": mom,

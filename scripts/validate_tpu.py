@@ -15,7 +15,12 @@ Run:  python scripts/validate_tpu.py        (exits nonzero on mismatch)
 
 from __future__ import annotations
 
+import os
 import sys
+
+# resolve the package from the repo root without PYTHONPATH (any PYTHONPATH
+# value breaks the axon PJRT plugin discovery in this environment)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -85,6 +90,43 @@ def validate_pallas_vs_xla() -> None:
     assert abs(float(s_p.dt) - float(s_x.dt)) < 1e-9
 
 
+def validate_macro_chunked() -> None:
+    """Force several macro chunks (pallas_macro_tiles << tiles) and check
+    the lax.scan-chunked pipeline matches the XLA oracle — the path 25M+
+    models take (interpret mode compiles this too slowly for the CPU CI
+    box, so the check lives here on real hardware)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import claymore_tpu as cmt
+    from claymore_tpu.io.sampler import sample_uniform_box_world
+
+    cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
+                        default_dt=2e-4)
+    cfg_scan = dataclasses.replace(cfg, pallas_macro_tiles=64,
+                                   pallas_chunk=16)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos = sample_uniform_box_world(cfg.dx, [0.4, 0.5, 0.4],
+                                   [0.55, 0.65, 0.55], cfg.ppc)
+    e1 = cmt.MPMEngine(cfg_scan, [mat], tile_chunk=8, use_pallas=True)
+    e2 = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=False)
+    s1 = e1.init_state([pos], [(0.2, -0.4, 0.0)])
+    s2 = e2.init_state([pos], [(0.2, -0.4, 0.0)])
+    assert s1.models[0].tiles.block.shape[0] > cfg_scan.pallas_macro_tiles
+    fe = jnp.float32(1e9)
+    for _ in range(6):
+        s1 = e1.substep(s1, fe)
+        s2 = e2.substep(s2, fe)
+    jax.block_until_ready((s1, s2))
+    c1, c2 = e1.get_positions(s1), e2.get_positions(s2)
+    assert c1.shape == c2.shape
+    err = cloud_err(c1, c2)
+    assert err < 5e-5, f"macro-chunked cloud divergence {err:.2e}"
+    print(f"macro-chunked pipeline: cloud err {err:.2e}")
+
+
 def smoke_domain10() -> None:
     """1024^3-cell domain (BASELINE config 5 resolution): table + rebuild
     memory smoke test with the compiled kernel."""
@@ -114,6 +156,7 @@ def smoke_domain10() -> None:
 
 if __name__ == "__main__":
     validate_pallas_vs_xla()
+    validate_macro_chunked()
     smoke_domain10()
     print("TPU validation: OK")
     sys.exit(0)
