@@ -22,6 +22,22 @@ import numpy as np
 CLAYMORE_BASELINE_MPPS = 250.0
 
 
+def _tight_tiles(cfg, parts, slack: float = 1.25) -> int:
+    """Tile capacity sized from the sampled models: sum of per-block tile
+    needs (+ drift slack) instead of the generic tiles_for heuristic, which
+    over-allocates ~35% dead tiles — at bench scale that is real HBM and
+    real arena traffic (dead tiles still ship their 6 KB arenas)."""
+    g = cfg.grid_size
+    need = 0
+    for pos in parts:
+        base = np.floor(pos * cfg.dx_inv + 0.5).astype(np.int64) - 1
+        hb = (base - 1) >> cfg.block_bits
+        keys = (hb[:, 0] * g + hb[:, 1]) * g + hb[:, 2]
+        _, counts = np.unique(keys, return_counts=True)
+        need = max(need, int(np.ceil(counts / cfg.particle_tile).sum()))
+    return int(need * slack)
+
+
 def build(scene: str, quick: bool):
     import claymore_tpu as cmt
     from claymore_tpu.io.sampler import sample_uniform_box_world, sample_sphere
@@ -46,19 +62,10 @@ def build(scene: str, quick: bool):
         # Capacities are sized from the sampled model: the generic tiles_for
         # heuristic would allocate ~35% dead tiles, and at 25M that is GBs
         # of HBM and tens of ms of arena traffic per step.
-        import dataclasses
-
         cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=65536,
                             default_dt=1e-4, rebucket_auto=True,
                             pallas_chunk=16, particle_tile=512)
         pos = sample_sphere(cfg.dx, (0.5, 0.55, 0.5), 0.3547, cfg.ppc)
-        g = cfg.grid_size
-        base = np.floor(pos * cfg.dx_inv + 0.5).astype(np.int64) - 1
-        hb = (base - 1) >> cfg.block_bits
-        keys = (hb[:, 0] * g + hb[:, 1]) * g + hb[:, 2]
-        _, counts = np.unique(keys, return_counts=True)
-        need = int(np.ceil(counts / cfg.particle_tile).sum())
-        cfg = dataclasses.replace(cfg, max_tiles=int(need * 1.2))
         vol = cfg.default_volume()
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
         parts = [pos]
@@ -103,6 +110,8 @@ def build(scene: str, quick: bool):
         v0s = [(0.0, -0.5, 0.0)] * 3
     else:
         raise SystemExit(f"unknown scene {scene}")
+    import dataclasses
+    cfg = dataclasses.replace(cfg, max_tiles=_tight_tiles(cfg, parts))
     return cfg, mats, parts, v0s
 
 
@@ -148,6 +157,11 @@ def main():
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     mpps = n * steps / elapsed / 1e6
+    # loud loss accounting in the recorded artifact: dropped particles or
+    # block overflow would silently inflate throughput otherwise
+    alive = sum(int(np.asarray(m.active).sum()) for m in state.models)
+    dropped_tiles = sum(int(np.asarray(m.tiles.dropped)[0])
+                        for m in state.models)
     print(json.dumps({
         "metric": "M particle-steps/sec/chip (elastic cube, fixed corotated)"
         if scene == "cube" else f"M particle-steps/sec/chip ({scene})",
@@ -159,6 +173,9 @@ def main():
         "steps": steps,
         "backend": "pallas" if (on_tpu and not xla_only) else "xla",
         "device": str(jax.devices()[0]),
+        "active_particles": alive,
+        "dropped_tiles": dropped_tiles,
+        "block_overflow": int(np.asarray(state.partition.overflow)[0]),
     }))
 
 
