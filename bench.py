@@ -75,6 +75,10 @@ def build(scene: str, quick: bool):
         parts = [sample_sphere(cfg.dx, (0.4, 0.6, 0.4), span / 2 * 1.24, cfg.ppc)]
         v0s = [(0.0, -0.5, 0.0)]
     elif scene == "dambreak":
+        # 4.3M-particle fluid spreads over far more blocks than the solids
+        # (bench JSON block_overflow caught 8192 being short)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, max_active_blocks=24576)
         mats = [cmt.JFluid(volume=vol)]
         parts = [sample_uniform_box_world(
             cfg.dx, [0.1, 0.1, 0.1], [0.1 + span, 0.1 + 2 * span, 0.1 + 2 * span],

@@ -273,7 +273,9 @@ class NACC(Material):
         log_jp = fields["logJp"]
         u, (s0, s1, s2), v = soa3.svd3(f)
 
-        p0 = bm * (1e-5 + jnp.sinh(xi * jnp.maximum(-log_jp, 0.0)))
+        # sinh spelled via exp: Mosaic (Pallas TPU) has no sinh lowering
+        xh = xi * jnp.maximum(-log_jp, 0.0)
+        p0 = bm * (1e-5 + 0.5 * (jnp.exp(xh) - jnp.exp(-xh)))
         p_min = -beta * p0
         je = s0 * s1 * s2
 
