@@ -158,3 +158,31 @@ def test_poisson_sampling_blue_noise(tmp_path):
     q_pois = np.quantile(min_nn(pois), 0.05)
     q_jit = np.quantile(min_nn(jit), 0.05)
     assert q_pois > 1.5 * q_jit, (q_pois, q_jit)
+
+
+def test_config5_scene_schema():
+    """BASELINE config 5 (100M particles, 1024^3 grid, 8-chip 4x2 mesh):
+    the scene file's schema is loader-compatible and its sphere samples to
+    ~100M particles at the configured grid (checked arithmetically — the
+    scene itself needs 8 real chips and ~7 GB of positions)."""
+    import json
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                        "sphere_100m_8dev.json")
+    doc = json.load(open(path))
+    g = doc["grid"]
+    assert g["domain_bits"] == 10
+    mesh = doc["device"]["mesh_shape"]
+    assert int(np.prod(mesh)) == 8
+    m = doc["models"][0]
+    assert m["shape"]["type"] == "sphere"
+    r = min(m["span"]) / 2
+    cells = (1 << g["domain_bits"]) ** 3
+    particles = 4.0 / 3.0 * np.pi * r ** 3 * cells * 8.0  # 8 ppc
+    assert 90e6 < particles < 110e6, particles
+    # grid block capacity covers the occupied sphere blocks + dilation
+    blocks = particles / (8 * 64)
+    assert blocks / 8 < g["max_active_blocks"], "per-shard pool too small"
