@@ -97,7 +97,11 @@ def build(scene: str, quick: bool):
             cfg.ppc)]
         v0s = [(0.0, 0.0, 0.0)]
     elif scene == "multimat":
-        h = span / 2
+        # ~1M particles per material: small boxes only measure the fixed
+        # per-material pass cost, not throughput
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, max_active_blocks=16384)
+        h = span
         mats = [
             cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4),
             cmt.JFluid(volume=vol),
