@@ -113,7 +113,7 @@ class SimConfig:
     # the arena relayouts materialize [mt, ...] temporaries whose tiny minor
     # dims pad up to 32x under the (8, 128) tiling — unchunked at 25M
     # particles (64k tiles) a single temp is 15.6 GB.
-    pallas_macro_tiles: int = 8192
+    pallas_macro_tiles: int = 2048
 
     @cached_property
     def precision(self):

@@ -341,18 +341,16 @@ def g2p2g_pallas(
     # 15.6 GB for one temp.  Chunking bounds every [mt, ...] temp.
     macro = num_tiles
     if num_tiles > cfg.pallas_macro_tiles:
-        n_macro = -(-num_tiles // cfg.pallas_macro_tiles)
-        while (num_tiles % n_macro != 0
-               or (num_tiles // n_macro) % chunk != 0):
-            n_macro += 1
-        macro = num_tiles // n_macro
+        macro = max(chunk, (cfg.pallas_macro_tiles // chunk) * chunk)
+    n_full = num_tiles // macro
+    rem = num_tiles - n_full * macro           # rem % chunk == 0
 
     s_cap = model.pos.shape[1]
     cc = cfg.arena_cells
     bch = 4 * cfg.block_volume
 
-    def run_macro(flat_pool, inp):
-        """One pallas dispatch over ``macro`` tiles; carry = flat next pool."""
+    def run_macro(mt, flat_pool, inp):
+        """One pallas dispatch over ``mt`` tiles; carry = flat next pool."""
         keys_m, nbs_m, pos_m, act_m, fields_m = inp
         arenas_in = gather_arenas(cfg, pool_v, nbs_m)
 
@@ -371,8 +369,8 @@ def g2p2g_pallas(
             inputs.append(fields_m[k])
 
         out_shapes = [
-            jax.ShapeDtypeStruct((3, macro, tile), jnp.float32),     # pos
-            jax.ShapeDtypeStruct((macro, cc * cc, cc * 4), jnp.float32),
+            jax.ShapeDtypeStruct((3, mt, tile), jnp.float32),     # pos
+            jax.ShapeDtypeStruct((mt, cc * cc, cc * 4), jnp.float32),
         ]
         out_specs = [
             pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
@@ -380,18 +378,18 @@ def g2p2g_pallas(
                          memory_space=pltpu.VMEM),
         ]
         for k, w in field_widths:
-            out_shapes.append(jax.ShapeDtypeStruct((w, macro, tile), jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct((w, mt, tile), jnp.float32))
             out_specs.append(
                 pl.BlockSpec((w, chunk, tile), smap, memory_space=pltpu.VMEM)
             )
-        out_shapes.append(jax.ShapeDtypeStruct((1, macro, tile), jnp.int32))
+        out_shapes.append(jax.ShapeDtypeStruct((1, mt, tile), jnp.int32))
         out_specs.append(
             pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM)
         )
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(macro // chunk,),
+            grid=(mt // chunk,),
             in_specs=in_specs,
             out_specs=out_specs,
         )
@@ -416,32 +414,57 @@ def g2p2g_pallas(
         nf = len(field_widths)
         return flat_pool, (outs[0], tuple(outs[2 : 2 + nf]), outs[2 + nf])
 
+    # tile-axis views [w, T, tile] and a slicer for [lo, lo+mt) tile ranges
+    pos_v = model.pos.reshape(3, num_tiles, tile)
+    act_v = model.active.astype(jnp.int32).reshape(1, num_tiles, tile)
+    fields_v = {
+        k: v.reshape(v.shape[0] if v.ndim > 1 else 1, num_tiles, tile)
+        for k, v in model.fields.items()
+    }
+
+    def tile_slice(lo, mt):
+        return (
+            jax.lax.dynamic_slice_in_dim(tile_key, lo, mt, 0),
+            jax.lax.dynamic_slice_in_dim(nb_slot, lo, mt, 0),
+            jax.lax.dynamic_slice_in_dim(pos_v, lo, mt, 1),
+            jax.lax.dynamic_slice_in_dim(act_v, lo, mt, 1),
+            {k: jax.lax.dynamic_slice_in_dim(v, lo, mt, 1)
+             for k, v in fields_v.items()},
+        )
+
     flat0 = next_pool.reshape(next_pool.shape[0], bch)
-    xs = (
-        tile_key.reshape(-1, macro),
-        nb_slot.reshape(-1, macro, nb_slot.shape[1]),
-        jnp.moveaxis(model.pos.reshape(3, -1, macro, tile), 1, 0),
-        jnp.moveaxis(
-            model.active.astype(jnp.int32).reshape(1, -1, macro, tile), 1, 0),
-        {
-            k: jnp.moveaxis(
-                v.reshape(v.shape[0] if v.ndim > 1 else 1, -1, macro, tile),
-                1, 0)
-            for k, v in model.fields.items()
-        },
-    )
-    if macro == num_tiles:
+    if n_full * macro == num_tiles and n_full <= 1:
         flat, (pos_o, fields_o, act_o) = run_macro(
-            flat0, jax.tree.map(lambda x: x[0], xs))
+            num_tiles, flat0, tile_slice(0, num_tiles))
         new_pos = pos_o.reshape(3, s_cap)
-        new_field_arrays = [a for a in fields_o]
+        new_field_arrays = list(fields_o)
         new_active = act_o.reshape(s_cap) > 0
     else:
-        flat, (pos_s, fields_s, act_s) = jax.lax.scan(run_macro, flat0, xs)
-        new_pos = jnp.moveaxis(pos_s, 0, 1).reshape(3, s_cap)
-        new_field_arrays = [jnp.moveaxis(a, 0, 1).reshape(a.shape[1], s_cap)
+        full = tile_slice(0, n_full * macro)
+        xs = jax.tree.map(
+            lambda x: jnp.moveaxis(
+                x.reshape(x.shape[: -2] + (n_full, macro) + x.shape[-1:])
+                if x.ndim == 3 else x.reshape(n_full, macro, *x.shape[1:]),
+                x.ndim - 2 if x.ndim == 3 else 0, 0),
+            full,
+        )
+        flat, (pos_s, fields_s, act_s) = jax.lax.scan(
+            lambda c, i: run_macro(macro, c, i), flat0, xs)
+        new_pos = jnp.moveaxis(pos_s, 0, 1).reshape(3, -1)
+        new_field_arrays = [jnp.moveaxis(a, 0, 1).reshape(a.shape[1], -1)
                             for a in fields_s]
-        new_active = jnp.moveaxis(act_s, 0, 1).reshape(s_cap) > 0
+        new_active = jnp.moveaxis(act_s, 0, 1).reshape(-1) > 0
+        if rem:
+            flat, (pos_r, fields_r, act_r) = run_macro(
+                rem, flat, tile_slice(n_full * macro, rem))
+            new_pos = jnp.concatenate(
+                [new_pos, pos_r.reshape(3, -1)], axis=1)
+            new_field_arrays = [
+                jnp.concatenate([a, r.reshape(r.shape[0], -1)], axis=1)
+                for a, r in zip(new_field_arrays, fields_r)
+            ]
+            new_active = jnp.concatenate(
+                [new_active, act_r.reshape(-1) > 0])
 
     flat = flat.at[cfg.null_block].set(0.0)
     next_pool = flat.reshape(next_pool.shape[0], 4, cfg.block_volume)
