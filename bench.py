@@ -23,19 +23,13 @@ CLAYMORE_BASELINE_MPPS = 250.0
 
 
 def _tight_tiles(cfg, parts, slack: float = 1.25) -> int:
-    """Tile capacity sized from the sampled models: sum of per-block tile
-    needs (+ drift slack) instead of the generic tiles_for heuristic, which
+    """Tile capacity sized from the sampled models (incl. the tile plan's
+    oct-group padding) instead of the generic tiles_for heuristic, which
     over-allocates ~35% dead tiles — at bench scale that is real HBM and
-    real arena traffic (dead tiles still ship their 6 KB arenas)."""
-    g = cfg.grid_size
-    need = 0
-    for pos in parts:
-        base = np.floor(pos * cfg.dx_inv + 0.5).astype(np.int64) - 1
-        hb = (base - 1) >> cfg.block_bits
-        keys = (hb[:, 0] * g + hb[:, 1]) * g + hb[:, 2]
-        _, counts = np.unique(keys, return_counts=True)
-        need = max(need, int(np.ceil(counts / cfg.particle_tile).sum()))
-    return int(need * slack)
+    real window traffic (dead groups still fetch their 64 KB windows)."""
+    from claymore_tpu.core.engine import exact_tiles
+
+    return exact_tiles(cfg, parts, slack=slack)
 
 
 def build(scene: str, quick: bool):

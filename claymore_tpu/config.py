@@ -179,8 +179,47 @@ class SimConfig:
 
     @cached_property
     def null_block(self) -> int:
-        """Pool slot absorbing writes to / reads from inactive blocks."""
+        """Block-address sentinel: first block of the null OCT row."""
+        return self.null_oct * self.oct_z
+
+    # ----- oct-packed grid pool (docs/design_octpool.md) -----
+    # The grid pool stores 8 z-consecutive, z-aligned 4^3 blocks per native
+    # (16, 128) TPU tile: rows (channel, cx), lanes (z8, cy, cz).  1 KB per
+    # block with ZERO tile padding (a [4, 64] per-block row pads 4x), and
+    # z-runs of active blocks become contiguous HBM windows — multi-row
+    # window gathers run at 530 GB/s vs 15-150 GB/s for padded single rows
+    # (measured on v5e, scripts/prof_dma.py).
+    @cached_property
+    def oct_z(self) -> int:
+        """Blocks per pool row (z-major)."""
+        return 8
+
+    @cached_property
+    def grid_size_zo(self) -> int:
+        """Oct rows per z column."""
+        return self.grid_size // self.oct_z
+
+    @cached_property
+    def num_oct_keys(self) -> int:
+        return self.grid_size * self.grid_size * self.grid_size_zo
+
+    @cached_property
+    def max_active_octs(self) -> int:
+        """Oct-row pool capacity.  Every active oct contains at least one
+        active block, so max_active_blocks rows always suffice."""
         return self.max_active_blocks
+
+    @cached_property
+    def null_oct(self) -> int:
+        """Pool row absorbing traffic for inactive octs."""
+        return self.max_active_octs
+
+    @cached_property
+    def group_tiles(self) -> int:
+        """Tiles per transfer group = one aligned home oct (8 z-blocks).
+        The tile plan pads each oct's tile run to a multiple of this so a
+        Pallas program serves whole groups with 4 two-oct window fetches."""
+        return 8
 
     def tiles_for(self, num_particles: int) -> int:
         """Static tile capacity for a model of ``num_particles``.
@@ -209,6 +248,11 @@ class SimConfig:
 
     def __post_init__(self):
         assert self.domain_bits > self.block_bits >= 1
+        # the oct-packed pool layout assumes 4^3 blocks and >= 8 blocks/axis
+        assert self.block_bits == 2, "grid pool layout requires 4^3 blocks"
+        assert self.domain_bits - self.block_bits >= 3, (
+            "domain must span >= 8 blocks (one pool oct) per axis"
+        )
         assert self.max_active_blocks >= 1
         assert math.log2(self.particle_tile) == int(math.log2(self.particle_tile))
         # block keys ride through f32 bitcasts with bit 30 as a denormal

@@ -25,10 +25,46 @@ from . import transfer
 from .types import Partition, ParticleModel, SimState
 
 
+def exact_tiles(cfg: SimConfig, raw_positions, slack: float = 1.3) -> int:
+    """Tile capacity sized from actual particle positions: per-block tile
+    needs, summed per home OCT and padded to group multiples (the tile
+    plan's two-level padding, core/partition.py plan_tiles), times a drift
+    slack.  The generic per-count heuristic (SimConfig.tiles_for) cannot
+    see the oct-group padding; undersized capacity surfaces loudly via the
+    TileMap.dropped counter."""
+    g = cfg.grid_size
+    gt = cfg.group_tiles
+    need = 0
+    for raw in raw_positions:
+        raw = np.asarray(raw, np.float32)
+        base = np.floor(raw * cfg.dx_inv + 0.5).astype(np.int64) - 1
+        hb = (base - 1) >> cfg.block_bits
+        keys = (hb[:, 0] * g + hb[:, 1]) * g + hb[:, 2]
+        ukeys, counts = np.unique(keys, return_counts=True)
+        tiles = np.ceil(counts / cfg.particle_tile).astype(np.int64)
+        okeys = ukeys >> 3
+        osum = np.zeros(len(np.unique(okeys)), np.int64)
+        np.add.at(osum, np.unique(okeys, return_inverse=True)[1], tiles)
+        padded = int((-(-osum // gt) * gt).sum())
+        need = max(need, padded)
+    return int(np.ceil(need * slack / gt) * gt) + gt
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(2, 3))
+def _compact_positions(pos, active, size, s_cap):
+    """Pack the active slots' positions into [size, 3] on device (sorted
+    compaction: one nonzero + one row gather, no host-side masking)."""
+    (idx,) = jnp.nonzero(active, size=size, fill_value=s_cap)
+    return pos.T[jnp.minimum(idx, s_cap - 1)]
+
+
 def empty_partition(cfg: SimConfig) -> Partition:
     return Partition(
-        table=jnp.full((cfg.num_table_entries + 1,), cfg.null_block, jnp.int32),
-        keys=jnp.full((cfg.max_active_blocks,), cfg.num_table_entries, jnp.int32),
+        table=jnp.full((cfg.num_oct_keys + 1,), cfg.null_oct, jnp.int32),
+        keys=jnp.full((cfg.max_active_octs,), cfg.num_oct_keys, jnp.int32),
         count=jnp.zeros((1,), jnp.int32),
         overflow=jnp.zeros((1,), jnp.int32),
     )
@@ -50,7 +86,7 @@ def init_impl(
     ``pos_tuple[i]`` is [3, S_i] with S_i = tile_counts[i] * particle_tile
     (slot capacity); padding lanes are marked inactive in ``active_tuple``.
     """
-    pool = jnp.zeros((cfg.max_active_blocks + 1, 4, cfg.block_volume), jnp.float32)
+    pool = jnp.zeros((cfg.max_active_octs + 1, 16, 128), jnp.float32)
     permuted, tile_keys, droppeds = [], [], []
     for mat, pos, active, nt in zip(materials, pos_tuple, active_tuple, tile_counts):
         s_cap = pos.shape[1]
@@ -144,8 +180,13 @@ def substep_impl(
     # lazy rebucketing: rebuild buckets/partition only every K substeps
     # (reference rebuilds every substep; K>1 amortizes the sort+permute
     # chain under the drift-tolerant 4^3 arena)
+    # Drift-triggered rebucketing works under comm too: the predicate is
+    # per-shard local (no collectives inside the cond branches), migration
+    # fires on the same rebuilds, and between rebuilds a slab-crossing
+    # particle keeps scattering inside its OLD tile's arena, which the halo
+    # margin covers by construction (halo_margin >= arena reach).
     k_every = cfg.rebucket_every
-    auto = cfg.rebucket_auto and comm is None
+    auto = cfg.rebucket_auto
     if auto:
         # drift-triggered: rebuild when the next advection could push some
         # particle past its tile's arena bound (margin measured on the
@@ -301,6 +342,17 @@ class MPMEngine:
         self.colliders = tuple(colliders)
         self.tile_chunk = tile_chunk
         self.use_pallas = use_pallas
+        if use_pallas:
+            # the oct-window kernel relies on the tile plan's group
+            # invariant (tile // group_tiles shares one home oct) and on
+            # span-2 arenas (docs/design_octpool.md)
+            assert cfg.defrag_every == 1, (
+                "use_pallas requires defrag_every=1 (the incremental mover "
+                "path breaks tile-group contiguity)"
+            )
+            assert cfg.arena_span == 2, (
+                "use_pallas requires rebucket_every <= 2 (span-2 arenas)"
+            )
         self._num_tiles: List[int] = []
         self.substep = jax.jit(self._substep)
         self.run_frame = jax.jit(self._run_frame)
@@ -310,9 +362,16 @@ class MPMEngine:
     # setup
     # ------------------------------------------------------------------
 
-    def _round_tiles(self, n_particles: int) -> int:
-        t = self.cfg.tiles_for(n_particles)
-        c = self.tile_chunk
+    def _round_tiles(self, n_particles: int, raw=None) -> int:
+        if self.cfg.max_tiles:
+            t = self.cfg.max_tiles
+        elif raw is not None:
+            # size from the actual model: the heuristic cannot see the
+            # oct-group padding of the tile plan
+            t = exact_tiles(self.cfg, [raw])
+        else:
+            t = self.cfg.tiles_for(n_particles)
+        c = max(self.tile_chunk, self.cfg.group_tiles)
         return -(-t // c) * c
 
     def init_state(
@@ -332,7 +391,7 @@ class MPMEngine:
         for raw in model_positions:
             raw = np.asarray(raw, np.float32)
             n = raw.shape[0]
-            nt = self._round_tiles(n)
+            nt = self._round_tiles(n, raw)
             s_cap = nt * self.cfg.particle_tile
             pos = np.zeros((3, s_cap), np.float32)
             pos[:, :n] = raw.T  # component-leading, slot-major
@@ -465,25 +524,37 @@ class MPMEngine:
     # ------------------------------------------------------------------
 
     def get_positions(self, state: SimState, model_idx: int = 0) -> np.ndarray:
-        """Active particle positions on host (reference
-        retrieve_particle_buffer, mgmpm_kernels.cuh:1088-1122)."""
+        """Active particle positions on host, compacted ON DEVICE first
+        (reference retrieve_particle_buffer, mgmpm_kernels.cuh:1088-1122).
+
+        Round 2 shipped the whole slot array then masked on host — at 25M
+        particles that is ~30% dead-slot padding of extra transfer every
+        frame dump.  The compaction buffer is padded to the next power of
+        two of the active count so recompiles stay logarithmic."""
         m = state.models[model_idx]
-        pos = np.asarray(m.pos).T
-        act = np.asarray(m.active)
-        return pos[act]
+        s_cap = m.pos.shape[1]
+        n = int(jnp.sum(m.active))
+        if n == 0:
+            return np.zeros((0, 3), np.float32)
+        size = 1 << (n - 1).bit_length()
+        size = min(size, s_cap)
+        rows = _compact_positions(m.pos, m.active, size, s_cap)
+        return np.asarray(rows)[:n]
 
     def diagnostics(self, state: SimState) -> dict:
         """Conservation / occupancy probes (reference check_* kernels,
         mgmpm_kernels.cuh:1023-1085)."""
         cfg = self.cfg
-        grid_mass = float(jnp.sum(state.grid[:-1, 0]))
-        mom = jnp.sum(state.grid[:-1, 1:4], axis=(0, 2))
+        grid_mass = float(jnp.sum(state.grid[:-1, 0:4]))
+        o = state.grid.shape[0] - 1
+        mom = jnp.sum(state.grid[:-1, 4:16].reshape(o, 3, 4, 128),
+                      axis=(0, 2, 3))
         out = {
             "grid_mass": grid_mass,
             "grid_momentum": np.asarray(mom),
-            "active_blocks": int(state.partition.count[0]),
+            "active_octs": int(state.partition.count[0]),
             "block_overflow": int(state.partition.overflow[0]),
-            "null_block_mass": float(jnp.sum(jnp.abs(state.grid[cfg.null_block, 0]))),
+            "null_block_mass": float(jnp.sum(jnp.abs(state.grid[cfg.null_oct, 0:4]))),
             "migration_dropped": int(np.asarray(state.mig_dropped).sum()),
             "t": float(state.t),
             "dt": float(state.dt),

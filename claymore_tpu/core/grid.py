@@ -6,6 +6,11 @@ variant Projects/MGSP/mgmpm_kernels.cuh:247-421): momentum -> velocity,
 per-axis sticky domain slab, gravity, optional collision objects, and the
 global max-|v|^2 reduction (the warp-shuffle + atomic_max tree becomes one
 ``jnp.max``).
+
+Operates on the oct-packed pool ``f32[O+1, 16, 128]`` (core/octpool.py):
+rows (c, cx), lanes (z8, cy, cz) — everything here is elementwise, so the
+layout only shows up in how per-cell coordinates are derived from
+(oct key, row, lane) iotas.
 """
 
 from __future__ import annotations
@@ -16,21 +21,43 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from .types import Partition
-from .partition import unflatten_key
+from .octpool import oct_coord
+
+
+def _cell_coords(cfg: SimConfig, partition: Partition):
+    """Per-(row-group, lane) integer cell coords of every pool cell.
+
+    Returns (cx, cy, cz) broadcastable against the [O+1, 4, 128] per-channel
+    view: cx [1, 4, 1]; cy, cz [1, 1, 128]; and block coords bx, by [O+1],
+    bz [O+1, 1, 128] (global z-block index resolving the lane's z8).
+    """
+    o = partition.keys.shape[0]
+    bx, by, bzo = oct_coord(
+        cfg, jnp.minimum(partition.keys, cfg.num_oct_keys - 1))
+    # null row -> coord 0 (masked out by has_mass anyway)
+    bx = jnp.concatenate([bx, jnp.zeros((1,), bx.dtype)])
+    by = jnp.concatenate([by, jnp.zeros((1,), by.dtype)])
+    bzo = jnp.concatenate([bzo, jnp.zeros((1,), bzo.dtype)])
+    lane = jnp.arange(128, dtype=jnp.int32)
+    z8 = lane >> 4
+    cy = (lane >> 2) & 3
+    cz = lane & 3
+    cx = jnp.arange(4, dtype=jnp.int32)[None, :, None]
+    bz = bzo[:, None, None] * 8 + z8[None, None, :]
+    return cx, cy[None, None, :], cz[None, None, :], bx, by, bz
 
 
 def cell_positions(cfg: SimConfig, partition: Partition) -> jnp.ndarray:
-    """World-space position of every pool cell: f32[max_blocks+1, 3, bv]."""
+    """World-space position of every pool cell: f32[O+1, 3, 4, 128]."""
+    cx, cy, cz, bx, by, bz = _cell_coords(cfg, partition)
     bs = cfg.block_size
-    bcoord = unflatten_key(
-        cfg, jnp.minimum(partition.keys, cfg.grid_size ** 3 - 1)
-    ).T                                                   # [B, 3]
-    bcoord = jnp.concatenate([bcoord, jnp.zeros((1, 3), bcoord.dtype)], axis=0)
-    offs = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(bs)] * 3), indexing="ij"), axis=0
-    ).reshape(3, cfg.block_volume)                        # [3, bv]
-    cell = bcoord[:, :, None] * bs + offs[None]
-    return cell.astype(jnp.float32) * cfg.dx
+    x = (bx[:, None, None] * bs + cx).astype(jnp.float32)
+    y = (by[:, None, None] * bs + cy).astype(jnp.float32)
+    z = (bz * bs + cz).astype(jnp.float32)
+    shape = (bx.shape[0], 4, 128)
+    return jnp.stack(
+        [jnp.broadcast_to(a, shape) for a in (x, y, z)], axis=1
+    ) * cfg.dx
 
 
 def grid_update(
@@ -41,39 +68,49 @@ def grid_update(
     colliders: Sequence = (),
     collider_time: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(m, mx, my, mz) pool -> (m, vx, vy, vz) pool and max |v|^2.
+    """(m, mom) pool -> (m, v) pool and max |v|^2.
 
-    Returns (pool_v, max_vel_sqr).
+    Returns (pool_v, max_vel_sqr), both in the oct layout.
     """
-    m = pool[:, 0]                                        # [B+1, bv]
-    mom = pool[:, 1:4]                                    # [B+1, 3, bv]
+    o1 = pool.shape[0]
+    m = pool[:, 0:4]                                      # [O+1, 4, 128]
+    mom = pool[:, 4:16].reshape(o1, 3, 4, 128)
     has_mass = m > 0.0
     minv = jnp.where(has_mass, 1.0 / jnp.where(has_mass, m, 1.0), 0.0)
-    v = mom * minv[:, None, :]
+    v = mom * minv[:, None]
 
     # sticky slab: zero the axis component for blocks within ``bound_blocks``
     # of a domain face (reference is_in_bound bitmask, mgmpm_kernels.cuh:339)
-    bcoord = unflatten_key(
-        cfg, jnp.minimum(partition.keys, cfg.grid_size ** 3 - 1)
-    ).T                                                   # [B, 3]
-    near = (bcoord < cfg.bound_blocks) | (bcoord >= cfg.grid_size - cfg.bound_blocks)
-    near = jnp.concatenate([near, jnp.zeros((1, 3), jnp.bool_)], axis=0)  # null row
-    v = jnp.where(near[:, :, None], 0.0, v)
+    _, _, _, bx, by, bz = _cell_coords(cfg, partition)
+    g = cfg.grid_size
+    b = cfg.bound_blocks
 
-    g = jnp.asarray(cfg.gravity, v.dtype)
-    v = v + g[None, :, None] * dt
+    def near(c):
+        return (c < b) | (c >= g - b)
 
-    for col in colliders:
-        xc = cell_positions(cfg, partition)               # [B+1, 3, bv]
-        v = col.resolve(xc, v, collider_time if collider_time is not None else jnp.float32(0.0))
+    v = v.at[:, 0].set(jnp.where(near(bx)[:, None, None], 0.0, v[:, 0]))
+    v = v.at[:, 1].set(jnp.where(near(by)[:, None, None], 0.0, v[:, 1]))
+    v = v.at[:, 2].set(jnp.where(near(bz), 0.0, v[:, 2]))
 
-    v = jnp.where(has_mass[:, None, :], v, 0.0)
+    gvec = jnp.asarray(cfg.gravity, v.dtype)
+    v = v + gvec[None, :, None, None] * dt
 
-    vel_sqr = jnp.sum(v * v, axis=1)                      # [B+1, bv]
+    if colliders:
+        xc = cell_positions(cfg, partition)               # [O+1, 3, 4, 128]
+        t = collider_time if collider_time is not None else jnp.float32(0.0)
+        xf = xc.reshape(o1, 3, 512)
+        vf = v.reshape(o1, 3, 512)
+        for col in colliders:
+            vf = col.resolve(xf, vf, t)
+        v = vf.reshape(o1, 3, 4, 128)
+
+    v = jnp.where(has_mass[:, None], v, 0.0)
+
+    vel_sqr = jnp.sum(v * v, axis=1)                      # [O+1, 4, 128]
     vel_sqr = jnp.where(jnp.isnan(vel_sqr), jnp.inf, vel_sqr)
     max_vel_sqr = jnp.max(jnp.where(has_mass, vel_sqr, 0.0))
 
-    pool_v = jnp.concatenate([m[:, None, :], v], axis=1)
+    pool_v = jnp.concatenate([m, v.reshape(o1, 12, 128)], axis=1)
     return pool_v, max_vel_sqr
 
 

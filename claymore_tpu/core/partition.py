@@ -51,11 +51,15 @@ def unflatten_key(cfg: SimConfig, key: jnp.ndarray) -> jnp.ndarray:
 
 
 def lookup(cfg: SimConfig, table: jnp.ndarray, coord: jnp.ndarray) -> jnp.ndarray:
-    """[3, ...] block coords -> pool slot (null_block when inactive/OOB).
+    """[3, ...] block coords -> block address (null_block when inactive/OOB).
 
     Replaces the reference's ``Partition::query`` (hash_table.cuh:129-134).
+    The table maps OCT keys to oct-pool rows; a block address is
+    ``oct_slot * 8 + z8`` (see core/octpool.py).
     """
-    return table[flatten_key(cfg, coord)]
+    from . import octpool
+
+    return octpool.lookup_braddr(cfg, table, coord)
 
 
 def base_cell(cfg: SimConfig, pos: jnp.ndarray) -> jnp.ndarray:
@@ -109,6 +113,7 @@ def plan_tiles(cfg: SimConfig, pos: jnp.ndarray, active: jnp.ndarray,
     prev_key = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_key[:-1]])
     boundary = (sorted_key != prev_key) & act_s
 
+    # level 1: pad block boundaries to tile multiples.
     # padded slot = dense index + cumulative padding inserted at boundaries
     seg_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
     prev_seg_start = jnp.concatenate(
@@ -116,7 +121,23 @@ def plan_tiles(cfg: SimConfig, pos: jnp.ndarray, active: jnp.ndarray,
     )
     prev_len = jnp.where(boundary, iota - prev_seg_start, 0)
     waste = jnp.where(boundary, (-prev_len) % tile, 0)
-    new_slot = iota + jnp.cumsum(waste)
+    p1 = iota + jnp.cumsum(waste)
+
+    # level 2: pad OCT boundaries (home z-oct changes) to group_tiles*tile
+    # multiples, so tile // group_tiles identifies a group of tiles all
+    # homed in one aligned 8-block z-oct (docs/design_octpool.md).  Same
+    # induction as level 1: oct starts are group-aligned, so the waste at an
+    # oct boundary depends only on the previous oct's block-padded length
+    # p1[i] - p1[prev oct start].  Blocks of one oct have consecutive flat
+    # keys, so oct identity is key >> 3.
+    gt = cfg.group_tiles * tile
+    prev_okey = prev_key >> 3
+    o_boundary = ((sorted_key >> 3) != prev_okey) & act_s & boundary
+    o_start_p1 = jax.lax.cummax(jnp.where(o_boundary, p1, 0))
+    prev_o_p1 = jnp.concatenate([jnp.zeros((1,), jnp.int32), o_start_p1[:-1]])
+    prev_o_len = jnp.where(o_boundary, p1 - prev_o_p1, 0)
+    waste2 = jnp.where(o_boundary, (-prev_o_len) % gt, 0)
+    new_slot = p1 + jnp.cumsum(waste2)
     new_slot = jnp.where(act_s & (new_slot < s_cap), new_slot, s_cap)
     dropped = jnp.sum(act_s & (new_slot >= s_cap), dtype=jnp.int32).reshape(1)
 
@@ -347,14 +368,21 @@ def tile_keys_from_slots(cfg: SimConfig, key_perm: jnp.ndarray,
 
 def finalize_tiles(cfg: SimConfig, partition: Partition, tile_keys: jnp.ndarray,
                    dropped: jnp.ndarray) -> TileMap:
-    """Bind tiles to pool slots / coordinates of the new partition."""
+    """Bind tiles to block addresses / coordinates of the new partition."""
+    from . import octpool
+
     n3 = cfg.grid_size ** 3
     tvalid = tile_keys < n3
     bcoord = unflatten_key(cfg, jnp.minimum(tile_keys, n3 - 1))
     bcoord = jnp.where(tvalid[None, :], bcoord, 0)
-    block = jnp.where(tvalid, partition.table[jnp.minimum(tile_keys, n3)],
-                      cfg.null_block)
-    return TileMap(block=block, bcoord=bcoord, tvalid=tvalid, dropped=dropped)
+    okey = octpool.oct_key_from_block_key(cfg, tile_keys)
+    oslot = partition.table[okey]
+    braddr = jnp.where(
+        tvalid & (oslot != cfg.null_oct),
+        oslot * 8 + (jnp.minimum(tile_keys, n3 - 1) & 7),
+        cfg.null_block,
+    )
+    return TileMap(block=braddr, bcoord=bcoord, tvalid=tvalid, dropped=dropped)
 
 
 # --------------------------------------------------------------------------
@@ -393,23 +421,30 @@ def rebuild(
     model_block_keys: Tuple[jnp.ndarray, ...],
     extra_mask: jnp.ndarray | None = None,
 ) -> Tuple[Partition, jnp.ndarray]:
-    """Recompute the active block set, compact it, and remap the grid pool.
+    """Recompute the active OCT set, compact it, and remap the grid pool.
 
-    Active set = blocks holding grid mass (reference mark_active_grid_blocks)
-    union {0,1}^3-dilated particle home blocks (from the tile plans'
-    block-level unique-key lists; reference mark_active_particle_blocks +
-    register_neighbor_blocks).  Returns (new_partition, remapped_pool).
+    The active-block set is computed exactly as the reference does — blocks
+    holding grid mass (mark_active_grid_blocks) union {0,1}^3-dilated
+    particle home blocks (mark_active_particle_blocks +
+    register_neighbor_blocks) — then coarsened to octs (any active block
+    activates its 8-block pool row).  Compaction in ascending oct-key order
+    makes z-consecutive active octs slot-adjacent, which is what the window
+    transfer path relies on.  Returns (new_partition, remapped_pool).
     """
+    from . import octpool
+
     g = cfg.grid_size
     n3 = g * g * g
-    nb = cfg.max_active_blocks
+    no = cfg.num_oct_keys
+    nb = cfg.max_active_octs
     mask = jnp.zeros((n3,), jnp.bool_)
 
     # blocks with grid mass survive (momentum ballistic past particles)
-    has_mass = jnp.any(pool[:-1, 0, :] != 0.0, axis=-1)
-    slot_live = jnp.arange(nb) < partition.count
-    mask = mask.at[jnp.minimum(partition.keys, n3 - 1)].max(
-        has_mass & slot_live & (partition.keys < n3)
+    has_mass = octpool.block_has_mass(cfg, pool)          # [O, 8]
+    slot_live = (jnp.arange(nb) < partition.count) & (partition.keys < no)
+    bkeys = octpool.oct_block_keys(cfg, partition.keys)   # [O, 8]
+    mask = mask.at[jnp.minimum(bkeys, n3 - 1)].max(
+        has_mass & slot_live[:, None] & (bkeys < n3)
     )
 
     # particle home blocks (block-level lists, tiny scatters)
@@ -421,23 +456,27 @@ def rebuild(
     if extra_mask is not None:
         mask = mask | extra_mask.reshape(-1)
 
-    count = jnp.sum(mask, dtype=jnp.int32).reshape(1)
-    (keys,) = jnp.nonzero(mask, size=nb, fill_value=n3)
+    # coarsen to octs; block key layout (x, y, z) makes z the low bits, so
+    # consecutive groups of 8 block keys form one oct
+    omask = jnp.any(mask.reshape(no, 8), axis=1)
+
+    count = jnp.sum(omask, dtype=jnp.int32).reshape(1)
+    (keys,) = jnp.nonzero(omask, size=nb, fill_value=no)
     keys = keys.astype(jnp.int32)
     overflow = jnp.maximum(count - nb, 0)
     count = jnp.minimum(count, nb)
 
-    table = jnp.full((n3 + 1,), cfg.null_block, jnp.int32)
+    table = jnp.full((no + 1,), cfg.null_oct, jnp.int32)
     slots = jnp.arange(nb, dtype=jnp.int32)
-    table = table.at[jnp.minimum(keys, n3)].set(
-        jnp.where(keys < n3, slots, cfg.null_block)
+    table = table.at[jnp.minimum(keys, no)].set(
+        jnp.where(keys < no, slots, cfg.null_oct)
     )
-    table = table.at[n3].set(cfg.null_block)
+    table = table.at[no].set(cfg.null_oct)
 
     # remap pool rows old-slot -> new-slot ordering
-    old_slot = partition.table[jnp.minimum(keys, n3)]
+    old_slot = partition.table[jnp.minimum(keys, no)]
     new_pool = pool[old_slot]
-    new_pool = jnp.where((keys < n3)[:, None, None], new_pool, 0.0)
+    new_pool = jnp.where((keys < no)[:, None, None], new_pool, 0.0)
     new_pool = jnp.concatenate([new_pool, jnp.zeros_like(pool[:1])], axis=0)
 
     return Partition(table=table, keys=keys, count=count, overflow=overflow), new_pool

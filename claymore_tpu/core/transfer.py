@@ -41,6 +41,7 @@ from ..config import SimConfig
 from ..models.materials import Material
 from .types import ParticleModel
 from . import partition as part
+from . import octpool
 
 def _nb_offsets(cfg):
     """[3, span^3] neighbor block offsets (arena_lo .. arena_lo+span-1)."""
@@ -86,16 +87,19 @@ def _bspline_onehot(cfg: SimConfig, pos, origin):
 
 
 def neighbor_slots(cfg: SimConfig, table, bcoord):
-    """Pool slots of the arena's neighbor blocks per tile: [T, span^3]."""
+    """Block addresses of the arena's neighbor blocks per tile: [T, span^3]
+    (oct_slot * 8 + z8, core/octpool.py)."""
     nb = bcoord[:, :, None] + jnp.asarray(_nb_offsets(cfg))[:, None, :]
     return part.lookup(cfg, table, nb)
 
 
 def _arena_from_slots(cfg: SimConfig, pool, nb_slot):
-    """[ct, span^3] pool slots -> [ct, 4, C, C, C] cell arena."""
+    """[ct, span^3] block addresses -> [ct, 4, C, C, C] cell arena
+    (oracle-grade extraction from the oct pool; the Pallas fast path never
+    materializes this form)."""
     bs = cfg.block_size
     sp = cfg.arena_span
-    blocks = pool[nb_slot]                                # [ct, s^3, 4, bv]
+    blocks = octpool.gather_block_rows(cfg, pool, nb_slot)  # [ct, s^3, 4, bv]
     t = blocks.shape[0]
     arena = blocks.reshape(t, sp, sp, sp, 4, bs, bs, bs)
     arena = arena.transpose(0, 4, 1, 5, 2, 6, 3, 7)
@@ -227,11 +231,10 @@ def g2p2g_model(
         arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=cfg.precision)
         arena_out = arena_out.reshape(ct, cells, cells, cells, 4)
 
-        # scatter-add on the lane-flat [B, 4*bv] carry: [B, 4, bv] rows pad
-        # to (8, 128) tiles, 4x the useful HBM traffic (see pallas_g2p2g)
         blocks = _scatter_layout(cfg, arena_out)
-        acc = carry[0].at[nb_slot.reshape(-1)].add(
-            blocks.reshape(ct * cfg.arena_span ** 3, 4 * cfg.block_volume)
+        acc = octpool.scatter_add_block_rows(
+            cfg, carry[0], nb_slot.reshape(-1),
+            blocks.reshape(ct * cfg.arena_span ** 3, 4, cfg.block_volume),
         )
         return (acc, carry[1]), (new_pos.reshape(3, -1), new_fields_flat,
                                  ok.reshape(-1))
@@ -243,12 +246,10 @@ def g2p2g_model(
         jnp.moveaxis(tm.bcoord.reshape(3, nchunks, tile_chunk), 1, 0),
         nb_slot_all.reshape(nchunks, tile_chunk, cfg.arena_span ** 3),
     )
-    nb1 = next_pool.shape[0]
-    (next_flat, _), (new_pos, new_fields, ok) = jax.lax.scan(
-        chunk, (next_pool.reshape(nb1, 4 * cfg.block_volume), pool_v), xs
+    (next_pool, _), (new_pos, new_fields, ok) = jax.lax.scan(
+        chunk, (next_pool, pool_v), xs
     )
-    next_pool = next_flat.at[cfg.null_block].set(0.0).reshape(
-        nb1, 4, cfg.block_volume)
+    next_pool = next_pool.at[cfg.null_oct].set(0.0)
 
     # stitch chunk outputs back into slot-major arrays (pure reshapes/moves)
     pos_out = jnp.moveaxis(new_pos, 0, 1).reshape(3, -1)
@@ -309,8 +310,9 @@ def rasterize_model(
         arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=cfg.precision).reshape(
             ct, cells, cells, cells, 4)
         blocks = _scatter_layout(cfg, arena_out)
-        carry = carry.at[nb_slot.reshape(-1)].add(
-            blocks.reshape(ct * cfg.arena_span ** 3, 4, cfg.block_volume)
+        carry = octpool.scatter_add_block_rows(
+            cfg, carry, nb_slot.reshape(-1),
+            blocks.reshape(ct * cfg.arena_span ** 3, 4, cfg.block_volume),
         )
         return carry, None
 
@@ -321,4 +323,4 @@ def rasterize_model(
         nb_slot_all.reshape(nchunks, tile_chunk, cfg.arena_span ** 3),
     )
     pool, _ = jax.lax.scan(chunk, pool, xs)
-    return pool.at[cfg.null_block].set(0.0)
+    return pool.at[cfg.null_oct].set(0.0)

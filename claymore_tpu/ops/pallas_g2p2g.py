@@ -1,25 +1,28 @@
-"""Pallas fused G2P2G kernel.
+"""Pallas fused G2P2G kernel over the oct-packed grid pool.
 
 The hot loop (reference: the fused CUDA kernel g2p2g,
 Projects/GMPM/mgmpm_kernels.cuh:665-937) as a hand-scheduled TPU kernel.
-The XLA `lax.scan` formulation in core/transfer.py materializes per-chunk
-intermediates (weight one-hots, G2P partials, P2G outer products) to HBM;
-this kernel keeps the whole per-tile pipeline in VMEM:
+Data movement follows docs/design_octpool.md:
 
-* grid over tiles; particle state streams through Pallas's automatic
-  double-buffered pipeline (BlockSpec over the slot axis);
-* the 2^3 neighbor grid blocks are fetched by manual async DMA using
-  scalar-prefetched per-tile pool-slot indices (the reference's
-  shared-memory arena staging, mgmpm_kernels.cuh:699-727);
-* transfers run per neighbor block so every in-kernel reshape is a pure
-  dimension collapse/split (Mosaic cannot relayout arbitrary transposes):
-  the grid pool is pre-relayouted once per step to [16(cy,cz), 4ch, 4cx]
-  blocks, G2P contracts cx on the MXU ([48, 4] @ [4, tile]) then cy/cz on
-  the VPU, and P2G is one [16, 4*tile] @ [4*tile, 16] MXU matmul per block
-  with the particle axis as the contraction dim — no atomics,
-  bit-deterministic;
-* per-tile output arenas are summed into the sparse pool block-granularly
-  by the caller (cross-tile reduction).
+* the grid pool stores 8 z-consecutive blocks per native (16, 128) tile
+  (rows (c, cx), lanes (z8, cy, cz)) — fully dense, so the per-group grid
+  fetch is ONE XLA row gather of 4 two-oct windows (measured 530 GB/s on
+  v5e vs 15-150 GB/s for the round-2 padded per-block row gather);
+* tiles come group-padded by the tile plan: tile // 8 identifies a group
+  of tiles homed in one aligned 8-block z-oct, so a program's gather/
+  scatter window set is static;
+* in-kernel, per-block rectangles are placed with dynamic lane ROLLS
+  (dynamic lane slicing does not lower in Mosaic — probed,
+  scripts/prof_laneops.py): the two window rows are rolled by -z8*16 and
+  merged with an iota select on the way in, and the P2G [32, 64] result —
+  whose (bx, by, bz) 16x16 sub-rectangles are exactly oct-row (c,cx) x
+  (cy,cz) rectangles — is rolled by +z8*16 into the group's output
+  windows on the way out;
+* P2G output windows accumulate across the group's tiles in VMEM and are
+  scatter-added into the next pool as whole native rows (80 GB/s window
+  rate; the round-2 block-row scatter ran at ~17 GB/s effective);
+* no atomics anywhere; contraction over the particle axis on the MXU
+  keeps the transfer bit-deterministic.
 
 The caller-facing function mirrors core.transfer.g2p2g_model.
 """
@@ -37,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import SimConfig
 from ..models.materials import Material
 from ..core.types import ParticleModel
-from ..core.transfer import neighbor_slots
 
 
 def _dotp(cfg: SimConfig, a, b):
@@ -61,7 +63,7 @@ def _dotp(cfg: SimConfig, a, b):
 
 
 def _axis_weights(cfg: SimConfig, pos_ax, origin_ax, li_ax, dtype):
-    """One-hot weight/moment rows for one axis: [C, tile] each
+    """One-hot weight/moment rows for one axis: [8, tile] each
     (reference bspline_weight, utility_funcs.hpp:10-19)."""
     d = pos_ax * cfg.dx_inv - jnp.floor(pos_ax * cfg.dx_inv + 0.5) + 1.0
     w0 = 0.5 * (1.5 - d) ** 2
@@ -79,50 +81,53 @@ def _axis_weights(cfg: SimConfig, pos_ax, origin_ax, li_ax, dtype):
     return w, m
 
 
-def gather_arenas(cfg: SimConfig, pool: jnp.ndarray,
-                  nb_slot: jnp.ndarray) -> jnp.ndarray:
-    """[T, span^3] pool slots -> [T, 3*C, C*C] velocity arenas with rows
-    (channel, x) and lanes (y, z) — the layout the kernel's (y, z)-joint
-    MXU contraction consumes directly (XLA gather; the kernel streams it)."""
-    bs = cfg.block_size
-    sp = cfg.arena_span
-    blocks = pool[nb_slot][:, :, 1:4]             # [T, s^3, 3, bv]
-    t = blocks.shape[0]
-    a = blocks.reshape(t, sp, sp, sp, 3, bs, bs, bs)
-    a = a.transpose(0, 4, 1, 5, 2, 6, 3, 7)
-    c = sp * bs
-    return a.reshape(t, 3 * c, c * c)
+def group_window_indices(cfg: SimConfig, table: jnp.ndarray,
+                         tile_key: jnp.ndarray) -> jnp.ndarray:
+    """Per-group pool-row indices of the 4 neighbor-column / 2-oct windows:
+    i32[G, 4, 2] (null_oct for dead groups / inactive positions — the null
+    row is zeroed, so gathered garbage and scattered spill both vanish)."""
+    from ..core import octpool
 
-
-def arenas_to_block_rows(cfg: SimConfig, arenas: jnp.ndarray) -> jnp.ndarray:
-    """[T, C*C(x,y), C*4(z,c)] kernel outputs -> [T*span^3, 4, bv] rows."""
-    t = arenas.shape[0]
-    bs = cfg.block_size
-    sp = cfg.arena_span
-    a = arenas.reshape(t, sp, bs, sp, bs, sp, bs, 4)
-    a = a.transpose(0, 1, 3, 5, 7, 2, 4, 6)        # bx,by,bz, c, cx,cy,cz
-    return a.reshape(t * sp ** 3, 4, cfg.block_volume)
+    g = cfg.grid_size
+    gzo = cfg.grid_size_zo
+    n3 = g * g * g
+    gt = cfg.group_tiles
+    ngroups = tile_key.shape[0] // gt
+    gk = jnp.min(tile_key.reshape(ngroups, gt), axis=1)
+    kc = jnp.minimum(gk, n3 - 1)
+    bx = kc // (g * g)
+    by = (kc // g) % g
+    bzo = (kc % g) >> 3
+    cols = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            ws = []
+            for w in (0, 1):
+                x, y, zo = bx + dx, by + dy, bzo + w
+                ok = (gk < n3) & (x < g) & (y < g) & (zo < gzo)
+                okey = jnp.where(ok, (x * g + y) * gzo + zo, cfg.num_oct_keys)
+                ws.append(table[okey])
+            cols.append(jnp.stack(ws, axis=1))
+    return jnp.stack(cols, axis=1).astype(jnp.int32)     # [G, 4, 2]
 
 
 def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                  field_widths: Tuple[Tuple[str, int], ...], chunk: int):
-    bs = cfg.block_size
     d_inv = cfg.d_inv
     mass = material.mass
-
     g = cfg.grid_size
     n3 = g * g * g
-
-    cells = cfg.arena_cells
+    cells = cfg.arena_cells                               # 8
+    gt = cfg.group_tiles                                  # 8
+    gpp = chunk // gt                                     # groups / program
 
     def kernel(
         # scalar prefetch (SMEM)
-        key_ref,       # i32[T] home-block flat key (n3 = unused tile)
+        key_ref,       # i32[T] home-block flat key (n3 = dead tile)
         dt_ref,        # f32[1]
         ndt_ref,       # f32[1]
-        # streamed blocks (``chunk`` tiles per grid step — amortizes the
-        # fixed per-program cost, measured ~1.8us each, round 2)
-        arena_ref,     # f32[chunk, 3C, C^2] grid vel, rows (c, x), lanes (y, z)
+        # streamed blocks
+        arena_ref,     # f32[gpp, 4, 2, 16, 128] grid (m, v) windows
         pos_ref,       # f32[3, chunk, tile]
         act_ref,       # i32[1, chunk, tile]
         *rest,
@@ -130,7 +135,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         t = pl.program_id(0)
         nf = len(field_widths)
         field_refs = rest[:nf]
-        out_pos_ref, out_arena_ref = rest[nf], rest[nf + 1]
+        out_pos_ref, out_win_ref = rest[nf], rest[nf + 1]
         out_field_refs = rest[nf + 2 : nf + 2 + nf]
         out_act_ref = rest[nf + 2 + nf]
 
@@ -142,15 +147,19 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         for k in keys[1:]:
             alive = alive | (k < n3)
 
+        lane = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+
         def _g2p_tile(i):
             """G2P for sub-tile i: velocity + affine-velocity columns."""
             key = keys[i]
-            pos = pos_ref[:, i, :]                    # [3, tile]
+            gi = i // gt
+            shift = (key & 7) * 16                        # z8 lane offset
+            pos = pos_ref[:, i, :]                        # [3, tile]
             base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
             kc = jnp.minimum(key, n3 - 1)
-            origin = (jnp.stack(
+            origin = jnp.stack(
                 [kc // (g * g), (kc // g) % g, kc % g]
-            )[:, None] + cfg.arena_lo) * bs
+            )[:, None] * cfg.block_size
             rel = base - origin
             li = jnp.clip(rel, 0, cells - 3)
             in_range = jnp.all((rel >= 0) & (rel <= cells - 3), axis=0)
@@ -163,32 +172,58 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 )
                 ws.append(w)
                 ms.append(m)
-            (wx, wy, wz), (mx, my, mz) = ws, ms       # [C, tile]
+            (wx, wy, wz), (mx, my, mz) = ws, ms           # [8, tile]
+
+            # --- assemble the [24, 64] arena: rows (bx, c, cx), lanes
+            # (by, bz, cy, cz).  Each (bx, by) strip is two window rows
+            # rolled by -z8*16 and merged at the oct seam. ---
+            strips = []
+            for dx in (0, 1):
+                row_strips = []
+                for dy in (0, 1):
+                    col = dx * 2 + dy
+                    r0 = pltpu.roll(arena_ref[gi, col, 0], -shift, 1)
+                    r1 = pltpu.roll(arena_ref[gi, col, 1], -shift, 1)
+                    merged = jnp.where(lane < 128 - shift, r0, r1)
+                    row_strips.append(merged[4:16, :32])  # velocity rows
+                strips.append(jnp.concatenate(row_strips, axis=1))
+            vflat = jnp.concatenate(strips, axis=0)       # [24, 64]
 
             # --- G2P: contract (y, z) jointly on the MXU, x on the VPU ---
-            # (one [3C, C^2] @ [C^2, 3t] matmul replaces the per-axis chain
-            # whose [3, C, C, t] broadcast-reduce stages dominated the kernel
-            # on the VPU — measured, round 2)
-            vflat = arena_ref[i]                      # [3C (c,x), C^2 (y,z)]
-            wyz = (wy[:, None, :] * wz[None, :, :]).reshape(cells * cells, tile)
-            myz = (my[:, None, :] * wz[None, :, :]).reshape(cells * cells, tile)
-            wmz = (wy[:, None, :] * mz[None, :, :]).reshape(cells * cells, tile)
+            # weight rows in the block-factored (by, bz, cy, cz) lane order:
+            # concat of per-(by, bz) slice outer products (Mosaic-legal)
+            def yz(a, b):
+                parts = []
+                for byy in (0, 1):
+                    for bzz in (0, 1):
+                        pa = a[byy * 4:(byy + 1) * 4]
+                        pb = b[bzz * 4:(bzz + 1) * 4]
+                        parts.append(
+                            (pa[:, None, :] * pb[None, :, :]).reshape(16, tile))
+                return jnp.concatenate(parts, axis=0)     # [64, tile]
+
+            wyz = yz(wy, wz)
+            myz = yz(my, wz)
+            wmz = yz(wy, mz)
             gcat = _dotp(cfg, vflat, jnp.concatenate([wyz, myz, wmz], axis=1))
-            g0 = gcat[:, :tile].reshape(3, cells, tile)        # wy*wz
-            g1 = gcat[:, tile:2 * tile].reshape(3, cells, tile)  # my*wz
-            g2 = gcat[:, 2 * tile:].reshape(3, cells, tile)      # wy*mz
-            wx_b = wx[None, :, :]
-            mx_b = mx[None, :, :]
-            vel = jnp.sum(g0 * wx_b, axis=1)          # [3, tile]
-            col0 = jnp.sum(g0 * mx_b, axis=1)         # x-moment
-            col1 = jnp.sum(g1 * wx_b, axis=1)         # y-moment
-            col2 = jnp.sum(g2 * wx_b, axis=1)         # z-moment
+            g0 = gcat[:, :tile].reshape(2, 3, 4, tile)        # wy*wz
+            g1 = gcat[:, tile:2 * tile].reshape(2, 3, 4, tile)  # my*wz
+            g2 = gcat[:, 2 * tile:].reshape(2, 3, 4, tile)      # wy*mz
+            wx_b = wx.reshape(2, 1, 4, tile)
+            mx_b = mx.reshape(2, 1, 4, tile)
+            vel = jnp.sum(g0 * wx_b, axis=(0, 2))         # [3, tile]
+            col0 = jnp.sum(g0 * mx_b, axis=(0, 2))        # x-moment
+            col1 = jnp.sum(g1 * wx_b, axis=(0, 2))        # y-moment
+            col2 = jnp.sum(g2 * wx_b, axis=(0, 2))        # z-moment
             cols = (col0, col1, col2)
             a_soa = tuple(cols[c][r] for r in range(3) for c in range(3))
             return pos, origin, vel, a_soa, in_range
 
         def _p2g_tile(i, pos, origin, vel, a_soa, in_range, contrib_i):
             """P2G for sub-tile i at the advected position, same arena."""
+            key = keys[i]
+            gi = i // gt
+            shift = (key & 7) * 16
             new_pos = pos + vel * dt
             out_pos_ref[:, i, :] = new_pos
 
@@ -201,7 +236,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             rel2 = base2 - origin
             li2 = jnp.clip(rel2, 0, cells - 3)
             in_range2 = jnp.all((rel2 >= 0) & (rel2 <= cells - 3), axis=0)
-            tvf = (keys[i] < n3)
+            tvf = key < n3
             ok = (act_ref[0, i, :] > 0) & in_range & in_range2 & tvf
             out_act_ref[0, i, :] = ok.astype(jnp.int32)
 
@@ -219,7 +254,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             velm = vel * mass
             s0 = jnp.concatenate(
                 [jnp.full((1, tile), mass, dtype), velm], axis=0
-            ) * okf                                   # [4, tile]
+            ) * okf                                       # [4, tile]
             zero = jnp.zeros((1, tile), dtype)
             s1 = jnp.concatenate(
                 [zero, q[0][None], q[3][None], q[6][None]], 0) * okf
@@ -229,18 +264,46 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 [zero, q[2][None], q[5][None], q[8][None]], 0) * okf
             sv = jnp.concatenate([s0, s1, s2, s3], axis=1)   # [4, 4*tile]
 
-            ux = jnp.concatenate([wx2, mx2, wx2, wx2], axis=1)
+            ux = jnp.concatenate([wx2, mx2, wx2, wx2], axis=1)  # [8, 4t]
             uy = jnp.concatenate([wy2, wy2, my2, wy2], axis=1)
             uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=1)
 
-            e = (ux[:, None, :] * uy[None, :, :]).reshape(
-                cells * cells, 4 * tile)
-            r = (uz[:, None, :] * sv[None, :, :]).reshape(
-                cells * 4, 4 * tile)
-            aout = _dotp(cfg, e, r.T)
-            out_arena_ref[i] = aout                   # [(x,y), (z,c)]
+            # E rows (bx, c, cx); F rows (by, bz, cy, cz): the [32, 64]
+            # product's (bx, by, bz) 16x16 rectangles are exactly oct-row
+            # (c, cx) x (cy, cz) rectangles
+            e_parts = []
+            for dx in (0, 1):
+                uxb = ux[dx * 4:(dx + 1) * 4]
+                e_parts.append(
+                    (sv[:, None, :] * uxb[None, :, :]).reshape(16, 4 * tile))
+            e = jnp.concatenate(e_parts, axis=0)          # [32, 4t]
+            f_parts = []
+            for byy in (0, 1):
+                for bzz in (0, 1):
+                    pa = uy[byy * 4:(byy + 1) * 4]
+                    pb = uz[bzz * 4:(bzz + 1) * 4]
+                    f_parts.append(
+                        (pa[:, None, :] * pb[None, :, :]).reshape(16, 4 * tile))
+            f = jnp.concatenate(f_parts, axis=0)          # [64, 4t]
+            aout = _dotp(cfg, e, f.T)                     # [32, 64]
+
+            # place each (bx, by) 16x32 rectangle into the group's output
+            # window at lane offset z8*16 (roll; the part wrapping past lane
+            # 128 belongs to the second window row)
+            zeros96 = jnp.zeros((16, 96), dtype)
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    col = dx * 2 + dy
+                    rect = aout[dx * 16:(dx + 1) * 16, dy * 32:(dy + 1) * 32]
+                    padded = jnp.concatenate([rect, zeros96], axis=1)
+                    r = pltpu.roll(padded, shift, 1)
+                    m0 = lane >= shift
+                    m1 = lane < shift - 96
+                    out_win_ref[gi, col, 0] += jnp.where(m0, r, 0.0)
+                    out_win_ref[gi, col, 1] += jnp.where(m1, r, 0.0)
 
         def _compute():
+            out_win_ref[:] = jnp.zeros_like(out_win_ref)
             per_tile = [_g2p_tile(i) for i in range(chunk)]
 
             # --- material update, batched over the chunk: per-particle SoA
@@ -278,8 +341,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
 
         def _dead_program():
             # all-padding program: no transfer work; outputs stay well-defined
-            out_arena_ref[:] = jnp.zeros_like(out_arena_ref[:])
-            out_act_ref[:] = jnp.zeros_like(out_act_ref[:])
+            out_win_ref[:] = jnp.zeros_like(out_win_ref)
+            out_act_ref[:] = jnp.zeros_like(out_act_ref)
             out_pos_ref[:] = pos_ref[:]
             for (_name, w_), oref, iref in zip(field_widths, out_field_refs,
                                                field_refs):
@@ -305,22 +368,22 @@ def g2p2g_pallas(
     """Drop-in replacement for core.transfer.g2p2g_model on TPU."""
     import math as _math
 
+    assert cfg.arena_span == 2, (
+        "the oct-window Pallas path supports span-2 arenas only "
+        "(rebucket_every <= 2); use the XLA backend for wider arenas"
+    )
     tm = model.tiles
     num_tiles = tm.block.shape[0]
     tile = cfg.particle_tile
-    bs = cfg.block_size
-    # Mosaic requires the second-to-last block dim to be a multiple of 8 or
-    # equal to the full array dim, so chunk is pallas_chunk when it divides
-    # the tile count, else the largest valid multiple of 8, else all tiles
-    # in one program (small models only).
-    chunk = cfg.pallas_chunk
-    if num_tiles % chunk != 0 or chunk % 8 != 0:
+    gt = cfg.group_tiles
+    # chunk must be a multiple of the group size and divide the tile count
+    chunk = max(cfg.pallas_chunk, gt)
+    if num_tiles % chunk != 0 or chunk % gt != 0:
         chunk = _math.gcd(num_tiles, 8 * 64)
-        if chunk % 8 != 0:
+        if chunk % gt != 0:
             chunk = num_tiles
+    assert num_tiles % gt == 0, (num_tiles, gt)
 
-    nb_slot = neighbor_slots(cfg, table, tm.bcoord)
-    nb_slot = jnp.where(tm.tvalid[:, None], nb_slot, cfg.null_block).astype(jnp.int32)
     g = cfg.grid_size
     n3 = g * g * g
     tile_key = jnp.where(
@@ -335,10 +398,8 @@ def g2p2g_pallas(
     kernel = _make_kernel(cfg, material, tile, field_widths, chunk)
 
     # Large models run the gather -> kernel -> scatter pipeline over macro
-    # chunks of tiles under lax.scan: the arena relayout materializes a
-    # [mt, 2,2,2, 4,4,4,4] intermediate whose (4, 4) minor dims pad 32x
-    # under the (8, 128) tiling — at 25M particles (64k tiles) that is
-    # 15.6 GB for one temp.  Chunking bounds every [mt, ...] temp.
+    # chunks of tiles under lax.scan, bounding the [G, 4, 2, 16, 128]
+    # window temporaries (64 KB per group).
     macro = num_tiles
     if num_tiles > cfg.pallas_macro_tiles:
         macro = max(chunk, (cfg.pallas_macro_tiles // chunk) * chunk)
@@ -346,17 +407,18 @@ def g2p2g_pallas(
     rem = num_tiles - n_full * macro           # rem % chunk == 0
 
     s_cap = model.pos.shape[1]
-    cc = cfg.arena_cells
-    bch = 4 * cfg.block_volume
+    gpp = chunk // gt
 
-    def run_macro(mt, flat_pool, inp):
-        """One pallas dispatch over ``mt`` tiles; carry = flat next pool."""
-        keys_m, nbs_m, pos_m, act_m, fields_m = inp
-        arenas_in = gather_arenas(cfg, pool_v, nbs_m)
+    def run_macro(mt, acc_pool, inp):
+        """One pallas dispatch over ``mt`` tiles; carry = next pool."""
+        keys_m, pos_m, act_m, fields_m = inp
+        widx = group_window_indices(cfg, table, keys_m)    # [mg, 4, 2]
+        arenas_in = pool_v[widx]                           # [mg, 4, 2, 16, 128]
+        mg = mt // gt
 
         smap = lambda t, *pref: (0, t, 0)
         in_specs = [
-            pl.BlockSpec((chunk, 3 * cc, cc * cc), lambda t, *pref: (t, 0, 0),
+            pl.BlockSpec((gpp, 4, 2, 16, 128), lambda t, *pref: (t, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM),
@@ -370,11 +432,11 @@ def g2p2g_pallas(
 
         out_shapes = [
             jax.ShapeDtypeStruct((3, mt, tile), jnp.float32),     # pos
-            jax.ShapeDtypeStruct((mt, cc * cc, cc * 4), jnp.float32),
+            jax.ShapeDtypeStruct((mg, 4, 2, 16, 128), jnp.float32),
         ]
         out_specs = [
             pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, cc * cc, cc * 4), lambda t, *pref: (t, 0, 0),
+            pl.BlockSpec((gpp, 4, 2, 16, 128), lambda t, *pref: (t, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         for k, w in field_widths:
@@ -405,14 +467,11 @@ def g2p2g_pallas(
             *inputs,
         )
 
-        # scatter-add on a lane-flat [B, 256] view: [B, 4, 64] rows pad to
-        # (8, 128) tiles, 4x the useful HBM traffic (measured 5.8 -> 3.8 ms
-        # at 1M on v5e, round 2)
-        blocks = arenas_to_block_rows(cfg, outs[1])
-        flat_pool = flat_pool.at[nbs_m.reshape(-1)].add(
-            blocks.reshape(-1, bch))
+        # window scatter-add of whole native rows (null row absorbs spill)
+        acc_pool = acc_pool.at[widx.reshape(-1)].add(
+            outs[1].reshape(-1, 16, 128))
         nf = len(field_widths)
-        return flat_pool, (outs[0], tuple(outs[2 : 2 + nf]), outs[2 + nf])
+        return acc_pool, (outs[0], tuple(outs[2 : 2 + nf]), outs[2 + nf])
 
     # tile-axis views [w, T, tile] and a slicer for [lo, lo+mt) tile ranges
     pos_v = model.pos.reshape(3, num_tiles, tile)
@@ -425,17 +484,15 @@ def g2p2g_pallas(
     def tile_slice(lo, mt):
         return (
             jax.lax.dynamic_slice_in_dim(tile_key, lo, mt, 0),
-            jax.lax.dynamic_slice_in_dim(nb_slot, lo, mt, 0),
             jax.lax.dynamic_slice_in_dim(pos_v, lo, mt, 1),
             jax.lax.dynamic_slice_in_dim(act_v, lo, mt, 1),
             {k: jax.lax.dynamic_slice_in_dim(v, lo, mt, 1)
              for k, v in fields_v.items()},
         )
 
-    flat0 = next_pool.reshape(next_pool.shape[0], bch)
     if n_full * macro == num_tiles and n_full <= 1:
-        flat, (pos_o, fields_o, act_o) = run_macro(
-            num_tiles, flat0, tile_slice(0, num_tiles))
+        acc, (pos_o, fields_o, act_o) = run_macro(
+            num_tiles, next_pool, tile_slice(0, num_tiles))
         new_pos = pos_o.reshape(3, s_cap)
         new_field_arrays = list(fields_o)
         new_active = act_o.reshape(s_cap) > 0
@@ -448,15 +505,15 @@ def g2p2g_pallas(
                 x.ndim - 2 if x.ndim == 3 else 0, 0),
             full,
         )
-        flat, (pos_s, fields_s, act_s) = jax.lax.scan(
-            lambda c, i: run_macro(macro, c, i), flat0, xs)
+        acc, (pos_s, fields_s, act_s) = jax.lax.scan(
+            lambda c, i: run_macro(macro, c, i), next_pool, xs)
         new_pos = jnp.moveaxis(pos_s, 0, 1).reshape(3, -1)
         new_field_arrays = [jnp.moveaxis(a, 0, 1).reshape(a.shape[1], -1)
                             for a in fields_s]
         new_active = jnp.moveaxis(act_s, 0, 1).reshape(-1) > 0
         if rem:
-            flat, (pos_r, fields_r, act_r) = run_macro(
-                rem, flat, tile_slice(n_full * macro, rem))
+            acc, (pos_r, fields_r, act_r) = run_macro(
+                rem, acc, tile_slice(n_full * macro, rem))
             new_pos = jnp.concatenate(
                 [new_pos, pos_r.reshape(3, -1)], axis=1)
             new_field_arrays = [
@@ -466,8 +523,7 @@ def g2p2g_pallas(
             new_active = jnp.concatenate(
                 [new_active, act_r.reshape(-1) > 0])
 
-    flat = flat.at[cfg.null_block].set(0.0)
-    next_pool = flat.reshape(next_pool.shape[0], 4, cfg.block_volume)
+    next_pool = acc.at[cfg.null_oct].set(0.0)
 
     fields_out = {}
     for (k, w), arr in zip(field_widths, new_field_arrays):

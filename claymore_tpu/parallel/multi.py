@@ -61,13 +61,25 @@ class HaloComm:
         self.mesh_shape = tuple(mesh_shape)
         self.margin = margin
         self.mig_cap = mig_cap
-        # fixed packed-buffer capacity; the default (all pool slots) can
-        # never overflow, smaller values trade memory for a loud counter
-        self.halo_capacity = halo_capacity or cfg.max_active_blocks
         self.slabs = []
         for n in self.mesh_shape:
             assert cfg.grid_size % n == 0, (cfg.grid_size, n)
             self.slabs.append(cfg.grid_size // n)
+        if halo_capacity is None:
+            # derived default: a direction's window is ~2*margin of the
+            # slab's block layers, so at most ~2m/slab of the shard's
+            # active octs (x4 safety for uneven occupancy, floor 512).
+            # Overflow is counted loudly (SimState.halo_overflow), so a
+            # pathological scene degrades visibly, not silently.  Round 2
+            # shipped full-pool buffers per direction — 8 ppermutes of
+            # max_active_blocks rows per substep at the 100M config.
+            min_slab = min(self.slabs)
+            frac = min(1.0, 2.0 * margin / max(min_slab, 1))
+            halo_capacity = min(
+                cfg.max_active_octs,
+                max(512, int(4.0 * frac * cfg.max_active_octs)),
+            )
+        self.halo_capacity = halo_capacity
 
     # -- mesh geometry -------------------------------------------------
     def _bounds(self, a: int):
@@ -77,10 +89,19 @@ class HaloComm:
         return i, lo, lo + self.slabs[a]
 
     def _spatial_coord(self, keys, a: int):
-        """Block coordinate of flat keys along decomposed axis a."""
-        g = self.cfg.grid_size
+        """Coordinate range of flat OCT keys along decomposed axis a:
+        returns (lo, hi) block coords covered by each oct (hi exclusive).
+        Octs are single blocks in x/y and 8-block runs in z."""
+        from ..core.octpool import oct_coord
+
         dim = self.axes[a][1]
-        return (keys // (g * g), (keys // g) % g, keys % g)[dim]
+        bx, by, bzo = oct_coord(self.cfg, jnp.minimum(
+            keys, self.cfg.num_oct_keys - 1))
+        if dim == 0:
+            return bx, bx + 1
+        if dim == 1:
+            return by, by + 1
+        return bzo * 8, bzo * 8 + 8
 
     def _shift(self, x, a: int, step: int):
         """ppermute x by ``step`` shards along decomposed axis a."""
@@ -118,22 +139,28 @@ class HaloComm:
                 dirs.append(d)
         return dirs
 
-    def _pack_window(self, pool, partition, cond_extra):
-        """Pack (keys, rows) of my active blocks where cond_extra holds."""
+    def _pack_window(self, pool, partition, cond_extra, lane_ok):
+        """Pack (keys, rows) of my active octs where cond_extra holds.
+
+        ``lane_ok(keys)`` -> bool[H?, 128] masks each oct row's lanes to the
+        blocks actually inside the exchange window, so interior mass of an
+        oct straddling the window boundary is never shipped (the block-level
+        exchange semantics of round 2, at oct-row granularity)."""
         cfg = self.cfg
-        n3 = cfg.grid_size ** 3
-        nb = cfg.max_active_blocks
+        no = cfg.num_oct_keys
+        nb = cfg.max_active_octs
         h = self.halo_capacity
         keys = partition.keys
-        live = (jnp.arange(nb) < partition.count) & (keys < n3)
+        live = (jnp.arange(nb) < partition.count) & (keys < no)
         cond = live & cond_extra
         (idx,) = jnp.nonzero(cond, size=h, fill_value=nb)
         valid = idx < nb
         overflow = (jnp.sum(cond, dtype=jnp.int32)
                     - jnp.sum(valid, dtype=jnp.int32)).reshape(1)
         gidx = jnp.minimum(idx, nb - 1)
-        k = jnp.where(valid, keys[gidx], n3).astype(jnp.int32)
-        rows = pool[gidx] * valid[:, None, None].astype(pool.dtype)
+        k = jnp.where(valid, keys[gidx], no).astype(jnp.int32)
+        mask = valid[:, None] & lane_ok(k)
+        rows = pool[gidx] * mask[:, None, :].astype(pool.dtype)
         return k, rows, overflow
 
     def exchange_halo(self, pool, partition):
@@ -143,18 +170,35 @@ class HaloComm:
         m = self.margin
         keys = partition.keys
         bounds = [self._bounds(a) for a in range(len(self.axes))]
+        lane_bz = jnp.arange(128, dtype=jnp.int32) >> 4      # z8 per lane
         received = []
         overflow = jnp.zeros((1,), jnp.int32)
         for d in self._directions():
             cond = jnp.ones_like(keys, dtype=bool)
+            win = []
             for a, step in enumerate(d):
                 if step == 0:
                     continue
-                c = self._spatial_coord(keys, a)
+                clo, chi = self._spatial_coord(keys, a)
                 _, lo, hi = bounds[a]
                 edge = hi if step > 0 else lo
-                cond = cond & (c >= edge - m) & (c < edge + m)
-            k, rows, of = self._pack_window(pool, partition, cond)
+                # oct intersects the [edge-m, edge+m) window
+                cond = cond & (chi > edge - m) & (clo < edge + m)
+                if self.axes[a][1] == 2:
+                    win.append((a, edge))
+
+            def lane_ok(k, win=win, bounds=bounds):
+                ok = jnp.ones((k.shape[0], 128), bool)
+                if win:
+                    from ..core.octpool import oct_coord
+                    _, _, bzo = oct_coord(self.cfg, jnp.minimum(
+                        k, self.cfg.num_oct_keys - 1))
+                    bz = bzo[:, None] * 8 + lane_bz[None, :]
+                    for a, edge in win:
+                        ok = ok & (bz >= edge - m) & (bz < edge + m)
+                return ok
+
+            k, rows, of = self._pack_window(pool, partition, cond, lane_ok)
             overflow = overflow + of
             payload = (k, rows)
             for a, step in enumerate(d):
@@ -165,24 +209,33 @@ class HaloComm:
         return (received, overflow)
 
     def halo_mass_mask(self, slabs):
-        """Blocks where a neighbor contributed mass -> keep them active."""
-        n3 = self.cfg.grid_size ** 3
+        """Blocks where a neighbor contributed mass -> keep them active
+        (block-level mask consumed by partition.rebuild's extra_mask)."""
+        from ..core import octpool
+
+        cfg = self.cfg
+        n3 = cfg.grid_size ** 3
         mask = jnp.zeros((n3,), jnp.bool_)
         for keys, rows in slabs[0]:
-            has = jnp.any(rows[:, 0, :] != 0.0, axis=-1)     # [H]
-            mask = mask.at[jnp.minimum(keys, n3 - 1)].max(has & (keys < n3))
+            h = rows.shape[0]
+            has = jnp.any(
+                rows[:, 0:4].reshape(h, 4, 8, 16) != 0.0, axis=(1, 3)
+            )                                                # [H, 8]
+            bkeys = octpool.oct_block_keys(cfg, keys)        # [H, 8]
+            mask = mask.at[jnp.minimum(bkeys, n3 - 1)].max(
+                has & (bkeys < n3))
         return mask
 
     def add_halo(self, pool, partition, slabs):
         """Sum neighbor contributions into my (rebuilt) pool.  Blocks I do
         not have active fall into the null row (they carry no mass for me by
         construction: the mass mask activated every massy received block)."""
-        n3 = self.cfg.grid_size ** 3
+        no = self.cfg.num_oct_keys
         for keys, rows in slabs[0]:
-            slots = partition.table[jnp.minimum(keys, n3)]
-            slots = jnp.where(keys < n3, slots, self.cfg.null_block)
+            slots = partition.table[jnp.minimum(keys, no)]
+            slots = jnp.where(keys < no, slots, self.cfg.null_oct)
             pool = pool.at[slots].add(rows)
-        return pool.at[self.cfg.null_block].set(0.0)
+        return pool.at[self.cfg.null_oct].set(0.0)
 
     # -- particle migration -------------------------------------------
     def migrate(self, models: List[ParticleModel], materials, enable=True):
@@ -351,9 +404,16 @@ class MultiChipEngine:
                 slab_ax = cfg.grid_size // n_ax
                 shard = shard * n_ax + np.clip(hb[:, dim] // slab_ax, 0, n_ax - 1)
             counts = np.bincount(shard, minlength=nd)
-            pcap = max(int(np.ceil(counts.max() * self.capacity_factor)), 8)
-            nt = cfg.tiles_for(pcap)
-            nt = -(-nt // self.tile_chunk) * self.tile_chunk
+            # per-shard tile capacity from the actual worst shard's layout
+            # (incl. oct-group padding), scaled for migration growth
+            nt = max(
+                engine_mod.exact_tiles(
+                    cfg, [raw[shard == d]],
+                    slack=max(self.capacity_factor, 1.3))
+                for d in range(nd)
+            )
+            c = max(self.tile_chunk, cfg.group_tiles)
+            nt = -(-nt // c) * c
             s_cap = nt * cfg.particle_tile  # slot capacity per shard
             pos_sh = np.zeros((3, nd * s_cap), np.float32)
             act_sh = np.zeros((nd * s_cap,), bool)
@@ -462,19 +522,100 @@ class MultiChipEngine:
                                   _jnp.int32(n))
 
     def run_frame(self, state: SimState, frame_end) -> SimState:
-        frame_end = jnp.float32(frame_end)
-        while float(state.t) < float(frame_end) - 1e-9:
-            state = self.substep(state, frame_end)
-        return state
+        """All substeps of one frame in ONE sharded device program (round 2
+        ran a per-substep host loop with a float(state.t) readback — ~30 ms
+        of tunnel latency per substep on the axon remote backend, dwarfing
+        the step itself; the reference pays a per-substep host sync too,
+        mgsp_benchmark.cuh:410-416)."""
+        if getattr(self, "_run_frame_fn", None) is None:
+            spec = self._out_state_spec()
+            fn = functools.partial(
+                engine_mod.substep_impl, self.cfg, self.materials,
+                self.colliders, self.tile_chunk, comm=self.comm,
+                use_pallas=self.use_pallas,
+            )
+            cap = self.cfg.max_substeps_per_frame
+            eps = 1e-9
 
-    def run(self, state: SimState, frames: int, on_frame=None) -> SimState:
+            def frame(st, fe):
+                step0 = st.step
+
+                def cond(s):
+                    return (s.t < fe - eps) & (s.step - step0 < cap)
+
+                st = st._replace(
+                    dt=jnp.minimum(st.dt, jnp.maximum(fe - st.t, 0.0)))
+                return jax.lax.while_loop(cond, lambda s: fn(s, fe), st)
+
+            self._run_frame_fn = jax.jit(
+                jax.shard_map(frame, mesh=self.mesh,
+                              in_specs=(spec, P()), out_specs=spec,
+                              check_vma=False)
+            )
+        return self._run_frame_fn(state, jnp.float32(frame_end))
+
+    def run(self, state: SimState, frames: int, on_frame=None,
+            check_health: bool = True) -> SimState:
         frame_dt = self.cfg.frame_dt()
         t0 = float(state.t)
         for f in range(frames):
             state = self.run_frame(state, t0 + (f + 1) * frame_dt)
+            if check_health:
+                self.check_health(state, strict=False)
             if on_frame is not None:
                 on_frame(f, state)
         return state
+
+    def check_health(self, state: SimState, strict: bool = True) -> None:
+        """Divergence + silent-loss counters across all shards (the
+        multi-chip analogue of MPMEngine.check_health; reference aborts,
+        mgsp_benchmark.cuh:473-476)."""
+        import warnings
+
+        t = float(state.t)
+        if not np.isfinite(t) or not np.isfinite(float(state.max_vel)):
+            raise FloatingPointError(
+                f"simulation diverged: t={t}, max_vel={float(state.max_vel)}"
+            )
+        msgs = []
+        of = int(np.asarray(state.partition.overflow).sum())
+        if of > 0:
+            msgs.append(f"partition overflow: {of} octs beyond capacity")
+        for i, m in enumerate(state.models):
+            d = int(np.asarray(m.tiles.dropped).sum())
+            if d > 0:
+                msgs.append(f"model {i}: {d} particles dropped (tile capacity)")
+        md = int(np.asarray(state.mig_dropped).sum())
+        if md > 0:
+            msgs.append(f"{md} particles lost to migration capacity")
+        ho = int(np.asarray(state.halo_overflow).sum())
+        if ho > 0:
+            msgs.append(f"{ho} halo octs beyond halo_capacity (mass leaked)")
+        if msgs:
+            msg = "; ".join(msgs) + " — increase capacities"
+            if strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+
+    def update_material(self, model_idx: int, **params) -> "MultiChipEngine":
+        """New engine with updated material parameters (reference
+        update_*_parameters, gmpm_simulator.cuh:211-254); states carry over."""
+        import dataclasses as _dc
+
+        mats = list(self.materials)
+        mats[model_idx] = _dc.replace(mats[model_idx], **params)
+        eng = MultiChipEngine(
+            self.cfg, mats, mesh=self.mesh, mesh_shape=self.mesh_shape,
+            axis=self.axis, halo_margin=self.comm.margin,
+            migration_capacity=self.comm.mig_cap,
+            halo_capacity=self.comm.halo_capacity, colliders=self.colliders,
+            tile_chunk=self.tile_chunk,
+            particle_capacity_factor=self.capacity_factor,
+            use_pallas=self.use_pallas,
+        )
+        eng._num_tiles = list(self._num_tiles)
+        eng._pcaps = list(self._pcaps)
+        return eng
 
     # -- inspection ----------------------------------------------------
     def get_positions(self, state: SimState, model_idx: int = 0) -> np.ndarray:
@@ -484,25 +625,35 @@ class MultiChipEngine:
         return pos[act]
 
     def diagnostics(self, state: SimState) -> dict:
-        """Global probes.  After each halo reduction every *active* copy of a
-        block holds the global sum, so count each global block exactly once
-        (first shard holding it active)."""
+        """Global probes.  Each block is counted from its OWNER shard (the
+        shard whose slab contains it): after every halo reduction the owner's
+        copy holds the global sum for all of its blocks, while a non-owner
+        copy of a straddling oct row only holds the window blocks."""
         cfg = self.cfg
         nd = self.n_dev
-        pool = np.asarray(state.grid).reshape(nd, -1, 4, cfg.block_volume)
+        gzo = cfg.grid_size_zo
+        g = cfg.grid_size
+        pool = np.asarray(state.grid).reshape(nd, -1, 16, 128)
         keys = np.asarray(state.partition.keys).reshape(nd, -1)
         counts = np.asarray(state.partition.count).reshape(nd)
         nb = keys.shape[1]
-        live = (np.arange(nb)[None, :] < counts[:, None]).reshape(-1)
-        flat_keys = np.where(live, keys.reshape(-1), -1)
-        # keep the first live copy of each global key (vectorized dedup)
-        _, first = np.unique(flat_keys, return_index=True)
-        sel = np.zeros(nd * nb, bool)
-        sel[first] = True
-        sel &= live
-        rows = pool[:, :nb].reshape(nd * nb, 4, cfg.block_volume)[sel]
-        mass = float(rows[:, 0].sum())
-        mom = rows[:, 1:4].sum(axis=(0, 2))
+        live = np.arange(nb)[None, :] < counts[:, None]      # [nd, nb]
+        kk = np.minimum(keys, cfg.num_oct_keys - 1)
+        bx = kk // (gzo * g)
+        by = (kk // gzo) % g
+        bz = (kk % gzo)[:, :, None] * 8 + np.arange(8)       # [nd, nb, 8]
+        coords = (bx[:, :, None], by[:, :, None], bz)
+        # shard index of each block, row-major over the decomposed axes
+        owner = np.zeros((nd, nb, 8), np.int64)
+        for (name, dim), n_ax in zip(self.comm.axes, self.mesh_shape):
+            slab = g // n_ax
+            owner = owner * n_ax + np.clip(coords[dim] // slab, 0, n_ax - 1)
+        mine = (owner == np.arange(nd)[:, None, None]) & live[:, :, None]
+        blkmask = np.repeat(mine, 16, axis=2).reshape(nd, nb, 128)
+        rows = pool[:, :nb] * blkmask[:, :, None, :]
+        mass = float(rows[:, :, 0:4].sum())
+        mom = rows[:, :, 4:16].reshape(nd, nb, 3, 4, 128).sum(
+            axis=(0, 1, 3, 4))
         out = {
             "grid_mass": float(mass),
             "grid_momentum": mom,

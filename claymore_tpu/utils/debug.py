@@ -11,20 +11,29 @@ from ..core.types import Partition, SimState
 
 
 def pool_to_dense(cfg: SimConfig, state: SimState):
-    """Expand the sparse block pool to dense (m, mom) grids for testing."""
+    """Expand the sparse oct pool to dense (m, mom) grids for testing."""
     n = cfg.domain_size
     bs = cfg.block_size
+    g = cfg.grid_size
+    gzo = cfg.grid_size_zo
     m = np.zeros((n, n, n), np.float64)
     mom = np.zeros((n, n, n, 3), np.float64)
     pool = np.asarray(state.grid, np.float64)
     keys = np.asarray(state.partition.keys)
     count = int(np.asarray(state.partition.count)[0])
-    coords = np.asarray(unflatten_key(cfg, state.partition.keys))
     for s in range(count):
-        bx, by, bz = coords[:, s] * bs
-        blk = pool[s].reshape(4, bs, bs, bs)
-        m[bx : bx + bs, by : by + bs, bz : bz + bs] = blk[0]
-        mom[bx : bx + bs, by : by + bs, bz : bz + bs] = np.moveaxis(blk[1:4], 0, -1)
+        k = keys[s]
+        bx = (k // (gzo * g)) * bs
+        by = ((k // gzo) % g) * bs
+        bz0 = (k % gzo) * 8 * bs
+        # row (c, cx), lane (z8, cy, cz) -> [4ch, 4cx, 8z8, 4cy, 4cz]
+        oct = pool[s].reshape(4, 4, 8, 4, 4)
+        blk = oct.transpose(0, 2, 1, 3, 4)                # c, z8, cx, cy, cz
+        for z8 in range(8):
+            zz = bz0 + z8 * bs
+            m[bx : bx + bs, by : by + bs, zz : zz + bs] = blk[0, z8]
+            mom[bx : bx + bs, by : by + bs, zz : zz + bs] = np.moveaxis(
+                blk[1:4, z8], 0, -1)
     return m, mom
 
 
@@ -35,10 +44,10 @@ def check_partition(cfg: SimConfig, partition: Partition) -> None:
     count = int(np.asarray(partition.count)[0])
     assert int(np.asarray(partition.overflow)[0]) == 0
     for s in range(count):
-        assert keys[s] < cfg.num_table_entries
+        assert keys[s] < cfg.num_oct_keys
         assert table[keys[s]] == s, (s, keys[s], table[keys[s]])
-    assert np.all(keys[count:] == cfg.num_table_entries)
-    live = table[table != cfg.null_block]
+    assert np.all(keys[count:] == cfg.num_oct_keys)
+    live = table[table != cfg.null_oct]
     assert live.size == count
 
 

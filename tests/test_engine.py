@@ -156,7 +156,9 @@ def test_divergence_exits_frame_loop_and_raises():
     mat = cmt.FixedCorotated(volume=1e-6, e=1e4, nu=0.3)
     cfg, eng, pos, state = small_setup(mat)
     bad = state._replace(
-        grid=state.grid.at[0, 1].set(jnp.nan)  # NaN momentum in one block
+        # NaN x-momentum (row 4 = (c=1, cx=0)) across all octs: some massy
+        # cell is guaranteed to be hit regardless of sparse layout order
+        grid=state.grid.at[:-1, 4].set(jnp.nan)
     )
     out = eng.run_frame(bad, jnp.float32(1.0))  # must terminate
     assert not np.isfinite(float(out.t))

@@ -10,7 +10,7 @@ from claymore_tpu.io.sampler import sample_uniform_box_world
 
 
 @pytest.mark.parametrize("mat_name,k", [("fixed_corotated", 1), ("jfluid", 1),
-                                        ("fixed_corotated", 4)])
+                                        ("fixed_corotated", 2)])
 def test_pallas_matches_xla(mat_name, k):
     cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4,
                         rebucket_every=k)
@@ -41,3 +41,13 @@ def test_pallas_matches_xla(mat_name, k):
     assert pr.shape == pp.shape
     assert np.max(np.abs(pr[kr] - pp[kp])) < 1e-6
     assert abs(float(s_ref.dt) - float(s_pal.dt)) < 1e-10
+
+
+def test_pallas_rejects_wide_arena():
+    """Span-4 arenas (rebucket_every > 2) have no oct-window kernel path;
+    the engine must refuse rather than mis-gather (docs/design_octpool.md)."""
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256,
+                        rebucket_every=4)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    with pytest.raises(AssertionError, match="span-2"):
+        cmt.MPMEngine(cfg, [mat], use_pallas=True)
