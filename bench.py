@@ -117,6 +117,48 @@ def build(scene: str, quick: bool):
     return cfg, mats, parts, v0s
 
 
+def _write_validate_artifact(path="VALIDATE.json"):
+    """Compiled-kernel-vs-oracle check recorded next to the bench numbers
+    (scripts/validate_tpu.py is the long-form version; this is the always-on
+    regression guard — a Mosaic lowering regression must not ship inside a
+    good-looking bench JSON)."""
+    import jax
+    import jax.numpy as jnp
+
+    import claymore_tpu as cmt
+    from claymore_tpu.io.sampler import sample_uniform_box_world
+
+    cfg = cmt.SimConfig(domain_bits=6, max_active_blocks=512, default_dt=2e-4)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos = sample_uniform_box_world(cfg.dx, [0.4] * 3, [0.6] * 3, cfg.ppc)
+    ref = cmt.MPMEngine(cfg, [mat], tile_chunk=8)
+    pal = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=True)
+    v0 = [(0.2, -0.4, 0.1)]
+    sr, sp = ref.init_state([pos], v0), pal.init_state([pos], v0)
+    fe = jnp.float32(1.0)
+    for _ in range(4):
+        sr = ref.substep(sr, fe)
+        sp = pal.substep(sp, fe)
+    gr, gp = np.asarray(sr.grid), np.asarray(sp.grid)
+    pr, pp = ref.get_positions(sr), pal.get_positions(sp)
+    kr = np.lexsort((pr[:, 2], pr[:, 1], pr[:, 0]))
+    kp = np.lexsort((pp[:, 2], pp[:, 1], pp[:, 0]))
+    cloud = float(np.max(np.abs(pr[kr] - pp[kp]))) if pr.shape == pp.shape \
+        else float("inf")
+    art = {
+        "check": "mosaic kernel vs XLA oracle, 4 substeps, db=6 elastic",
+        "grid_err": float(np.max(np.abs(gr - gp))),
+        "grid_mass_rel": float(abs(gr[:-1, 0:4].sum() - gp[:-1, 0:4].sum())
+                               / max(gr[:-1, 0:4].sum(), 1e-30)),
+        "cloud_err": cloud,
+        "particles": int(pos.shape[0]),
+        "ok": bool(cloud < 1e-5 and np.max(np.abs(gr - gp)) < 1e-4),
+    }
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    return art["ok"]
+
+
 def main():
     quick = "--quick" in sys.argv
     xla_only = "--xla" in sys.argv
@@ -132,6 +174,12 @@ def main():
 
     cfg, mats, parts, v0s = build(scene, quick)
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not quick and not xla_only:
+        try:
+            _write_validate_artifact()
+        except Exception as e:          # never block the bench number
+            with open("VALIDATE.json", "w") as f:
+                json.dump({"ok": False, "error": repr(e)[:500]}, f)
     eng = cmt.MPMEngine(cfg, mats, tile_chunk=64,
                         use_pallas=(on_tpu and not xla_only))
     n = sum(p.shape[0] for p in parts)
@@ -161,6 +209,17 @@ def main():
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     mpps = n * steps / elapsed / 1e6
+
+    # --- roofline model: explain the number, don't just assert it ---
+    # FLOPs/particle/substep (span-2 arenas, one tile = 512 particles):
+    # G2P matmul [24,64]@[64,3t] = 9216/p; P2G [32,4t]@[4t,64] = 16384/p;
+    # weight one-hots + APIC/material/SVD ~4k (VPU).  HBM bytes/particle:
+    # particle state in+out (~104 B for F-materials), window gather+scatter
+    # paths ~130 B (oct windows, docs/design_octpool.md), grid update ~20 B.
+    flop_pp = 9216 + 16384 + 4000
+    bytes_pp = 104 + 130 + 20
+    model_tflops = n * steps * flop_pp / elapsed / 1e12
+    model_gbs = n * steps * bytes_pp / elapsed / 1e9
     # loud loss accounting in the recorded artifact: dropped particles or
     # block overflow would silently inflate throughput otherwise
     alive = sum(int(np.asarray(m.active).sum()) for m in state.models)
@@ -180,6 +239,8 @@ def main():
         "active_particles": alive,
         "dropped_tiles": dropped_tiles,
         "block_overflow": int(np.asarray(state.partition.overflow)[0]),
+        "model_tflops": round(model_tflops, 3),
+        "model_hbm_gbs": round(model_gbs, 1),
     }))
 
 

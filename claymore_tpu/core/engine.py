@@ -485,19 +485,215 @@ class MPMEngine:
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     def run(self, state: SimState, frames: int, on_frame=None,
-            check_health: bool = True) -> SimState:
-        """Frame loop (reference main_loop, gmpm_simulator.cuh:303-591)."""
+            check_health: bool = True, auto_grow: bool = False):
+        """Frame loop (reference main_loop, gmpm_simulator.cuh:303-591).
+
+        ``auto_grow=True`` enables grow-and-retrace capacity recovery
+        (reference check_capacity grows blocks/bins x1.5 at runtime,
+        gmpm_simulator.cuh:283-300): when a frame ends with loss counters
+        firing or occupancy near the static capacity, the engine re-creates
+        itself with scaled capacities and carries the state over exactly
+        (grid rows are relabeled by key; particle state is re-planned).
+        Returns the final state; read the possibly-regrown engine from
+        ``state`` runs via the returned (engine, state) when auto_grow."""
+        eng = self
         frame_dt = self.cfg.frame_dt()
         t0 = float(state.t)
         for f in range(frames):
             frame_end = jnp.float32(t0 + (f + 1) * frame_dt)
-            state = self.run_frame(state, frame_end)
+            state = eng.run_frame(state, frame_end)
             if check_health:
                 # raises FloatingPointError on divergence, warns on counters
-                self.check_health(state, strict=False)
+                eng.check_health(state, strict=False)
+            if auto_grow and eng._needs_growth(state):
+                eng, state = eng.regrow(state)
             if on_frame is not None:
                 on_frame(f, state)
-        return state
+        return (eng, state) if auto_grow else state
+
+    def _needs_growth(self, state: SimState) -> bool:
+        octs = int(state.partition.count[0])
+        if int(state.partition.overflow[0]) > 0:
+            return True
+        if octs > 0.9 * self.cfg.max_active_octs:
+            return True
+        for m in state.models:
+            if int(m.tiles.dropped[0]) > 0:
+                return True
+            nt = m.tiles.tvalid.shape[0]
+            if int(jnp.sum(m.tiles.tvalid)) > 0.9 * nt:
+                return True
+        return False
+
+    def regrow(self, state: SimState, factor: float = 1.5):
+        """Grow-and-retrace: new engine with scaled capacities, state
+        carried over EXACTLY — grid rows relabel by oct key (momentum is
+        grid state between substeps, so nothing needs re-rasterizing) and
+        particle state re-plans into the larger slot space."""
+        import dataclasses as _dc
+
+        cfg = self.cfg
+        octs = int(state.partition.count[0])
+        new_blocks = cfg.max_active_blocks
+        if octs > 0.8 * cfg.max_active_octs or int(state.partition.overflow[0]):
+            new_blocks = int(cfg.max_active_blocks * factor)
+        new_cfg = _dc.replace(cfg, max_active_blocks=new_blocks, max_tiles=0)
+        eng = MPMEngine(new_cfg, self.materials, self.colliders,
+                        self.tile_chunk, self.use_pallas)
+
+        # particle state to host, active only (pid order for determinism)
+        positions = []
+        for m in state.models:
+            act = np.asarray(m.active)
+            positions.append(np.asarray(m.pos).T[act])
+        ns = eng.init_state(positions)
+
+        # new active set = union of the old live octs (ballistic momentum
+        # lives in mass-only blocks with no particles — it must survive the
+        # regrow) and the new plan's particle octs; rows relabel by key
+        old_table = np.asarray(state.partition.table)
+        no = cfg.num_oct_keys
+        n_old = int(state.partition.count[0])
+        n_new = int(ns.partition.count[0])
+        keys_u = np.union1d(
+            np.asarray(state.partition.keys)[:n_old],
+            np.asarray(ns.partition.keys)[:n_new],
+        ).astype(np.int32)
+        cap = new_cfg.max_active_octs
+        assert len(keys_u) <= cap, (
+            f"regrow factor {factor} insufficient: {len(keys_u)} octs > {cap}")
+        keys = np.full((cap,), new_cfg.num_oct_keys, np.int32)
+        keys[: len(keys_u)] = keys_u
+        table = np.full((new_cfg.num_oct_keys + 1,), new_cfg.null_oct,
+                        np.int32)
+        table[keys_u] = np.arange(len(keys_u), dtype=np.int32)
+        partition = Partition(
+            table=jnp.asarray(table), keys=jnp.asarray(keys),
+            count=jnp.asarray([len(keys_u)], jnp.int32),
+            overflow=jnp.zeros((1,), jnp.int32),
+        )
+        old_slot = old_table[np.minimum(keys, no)]
+        rows = np.asarray(state.grid)[old_slot]
+        rows[keys >= no] = 0.0
+        grid = jnp.asarray(np.concatenate(
+            [rows, np.zeros((1, 16, 128), np.float32)], axis=0))
+
+        # re-plan carried the positions; fields must carry too (plan order
+        # differs from init defaults) — redo the permutation with real fields
+        models = []
+        for m_old, m_new, nt in zip(state.models, ns.models, eng._num_tiles):
+            act = np.asarray(m_old.active)
+            s_cap = nt * new_cfg.particle_tile
+            pos = np.zeros((3, s_cap), np.float32)
+            pos[:, : act.sum()] = np.asarray(m_old.pos)[:, act]
+            fields = {}
+            for k, v in m_old.fields.items():
+                vv = np.asarray(v)[..., act]
+                buf = np.zeros(vv.shape[:-1] + (s_cap,), np.float32)
+                buf[..., : act.sum()] = vv
+                fields[k] = jnp.asarray(buf)
+            active = np.zeros((s_cap,), bool)
+            active[: act.sum()] = True
+            raw = ParticleModel(
+                pos=jnp.asarray(pos), fields=fields,
+                active=jnp.asarray(active),
+                pid=jnp.where(jnp.asarray(active),
+                              jnp.arange(s_cap, dtype=jnp.int32), s_cap),
+                tiles=None,
+            )
+            plan = part.plan_tiles(new_cfg, raw.pos, raw.active, nt)
+            pm, key_perm = part.apply_slot_permutation(raw, plan)
+            tk = part.tile_keys_from_slots(new_cfg, key_perm, plan.valid)
+            models.append(pm._replace(tiles=part.finalize_tiles(
+                new_cfg, partition, tk, plan.dropped)))
+
+        new_state = ns._replace(
+            grid=grid, partition=partition, models=tuple(models),
+            dt=state.dt, t=state.t, step=state.step, max_vel=state.max_vel,
+        )
+        return eng, new_state
+
+    # ------------------------------------------------------------------
+    # profiling
+    # ------------------------------------------------------------------
+
+    def profile_stages(self, state: SimState, iters: int = 10,
+                       reps: int = 3) -> dict:
+        """Per-stage on-device timings in ms (reference tick/tock pairs
+        around every pipeline stage, gmpm_simulator.cuh:332-346).
+
+        Whole stages run as ``iters``-iteration on-device loops in one
+        dispatch each (per-dispatch host sync costs ~30 ms on a remote
+        backend and poisons naive timings), best of ``reps``.  Stages are
+        measured as state->state programs, so each includes its own data
+        movement; 'overhead' is substep minus the parts (fusion overlap
+        can make it negative)."""
+        import time as _time
+
+        cfg = self.cfg
+        fe = jnp.float32(1e9)
+
+        def grid_stage(s):
+            pool_v, mv = grid_ops.grid_update(
+                cfg, s.grid, s.partition, s.dt, self.colliders, s.t)
+            return s._replace(grid=pool_v, max_vel=jnp.sqrt(mv))
+
+        def transfer_stage(s):
+            nxt = jnp.zeros_like(s.grid)
+            models = []
+            for mat, m in zip(self.materials, s.models):
+                if self.use_pallas:
+                    from ..ops.pallas_g2p2g import g2p2g_pallas
+                    m, nxt = g2p2g_pallas(
+                        cfg, mat, s.grid, s.partition.table, m, s.dt, s.dt,
+                        nxt, interpret=(self.use_pallas == "interpret"))
+                else:
+                    m, nxt = transfer.g2p2g_model(
+                        cfg, mat, s.grid, s.partition.table, m, s.dt, s.dt,
+                        nxt, self.tile_chunk)
+                models.append(m)
+            return s._replace(grid=nxt, models=tuple(models))
+
+        def rebuild_stage(s):
+            permuted, tile_keys, droppeds = [], [], []
+            for m in s.models:
+                plan = part.plan_tiles(cfg, m.pos, m.active,
+                                       m.tiles.block.shape[0])
+                pm, key_perm = part.apply_slot_permutation(m, plan)
+                permuted.append(pm)
+                tile_keys.append(
+                    part.tile_keys_from_slots(cfg, key_perm, plan.valid))
+                droppeds.append(plan.dropped)
+            partition, pool = part.rebuild(
+                cfg, s.grid, s.partition, tuple(tile_keys))
+            models = tuple(
+                pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
+                for pm, tk, dr in zip(permuted, tile_keys, droppeds))
+            return s._replace(grid=pool, partition=partition, models=models)
+
+        stages = {
+            "grid_update": grid_stage,
+            "g2p2g": transfer_stage,
+            "rebuild": rebuild_stage,
+            "substep": lambda s: self._substep(s, fe),
+        }
+        out = {}
+        for name, fn in stages.items():
+            f = jax.jit(lambda s, fn=fn: jax.lax.fori_loop(
+                0, iters, lambda i, s2: fn(s2), s))
+            o = f(state)
+            jax.block_until_ready(o)
+            float(np.asarray(o.dt))            # force a real sync
+            best = float("inf")
+            for _ in range(reps):
+                t0 = _time.perf_counter()
+                o = f(state)
+                float(np.asarray(o.dt))
+                best = min(best, _time.perf_counter() - t0)
+            out[name] = best / iters * 1e3
+        out["overhead"] = out["substep"] - (
+            out["grid_update"] + out["g2p2g"] + out["rebuild"])
+        return out
 
     # ------------------------------------------------------------------
     # runtime parameter updates
