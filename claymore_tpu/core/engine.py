@@ -401,8 +401,16 @@ class MPMEngine:
             actives.append(jnp.asarray(act))
             self._num_tiles.append(nt)
 
-        return init_impl(
-            self.cfg, self.materials, tuple(self._num_tiles), self.tile_chunk,
+        # jitted: run eagerly at 25M+ slots, the unfused permutation /
+        # rasterize intermediates (GBs each) all stay live at once and OOM
+        # the chip; under jit XLA schedules and frees them
+        import functools
+
+        init_fn = jax.jit(functools.partial(
+            init_impl, self.cfg, self.materials, tuple(self._num_tiles),
+            self.tile_chunk,
+        ))
+        return init_fn(
             tuple(positions), tuple(actives),
             tuple(tuple(float(c) for c in v) for v in model_velocities),
         )

@@ -146,6 +146,9 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         alive = keys[0] < n3
         for k in keys[1:]:
             alive = alive | (k < n3)
+        import os as _os2
+        if _os2.environ.get("CM_KNOCK") == "deadkernel":
+            alive = alive & (dt < -1.0)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
@@ -413,8 +416,12 @@ def g2p2g_pallas(
         """One pallas dispatch over ``mt`` tiles; carry = next pool."""
         keys_m, pos_m, act_m, fields_m = inp
         widx = group_window_indices(cfg, table, keys_m)    # [mg, 4, 2]
-        arenas_in = pool_v[widx]                           # [mg, 4, 2, 16, 128]
         mg = mt // gt
+        import os as _os
+        if _os.environ.get("CM_KNOCK") == "nogather":
+            arenas_in = jnp.zeros((mg, 4, 2, 16, 128), jnp.float32)
+        else:
+            arenas_in = pool_v[widx]                       # [mg, 4, 2, 16, 128]
 
         smap = lambda t, *pref: (0, t, 0)
         in_specs = [
@@ -468,8 +475,11 @@ def g2p2g_pallas(
         )
 
         # window scatter-add of whole native rows (null row absorbs spill)
-        acc_pool = acc_pool.at[widx.reshape(-1)].add(
-            outs[1].reshape(-1, 16, 128))
+        if _os.environ.get("CM_KNOCK") != "noscatter":
+            acc_pool = acc_pool.at[widx.reshape(-1)].add(
+                outs[1].reshape(-1, 16, 128))
+        else:
+            acc_pool = acc_pool + jnp.sum(outs[1]) * 0.0
         nf = len(field_widths)
         return acc_pool, (outs[0], tuple(outs[2 : 2 + nf]), outs[2 + nf])
 

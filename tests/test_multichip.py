@@ -87,8 +87,7 @@ def test_migration_across_boundary():
     assert act0[0].sum() == n and act0[1].sum() == 0
 
     frame_end = jnp.float32(1.0)
-    for _ in range(110):
-        sm = multi.substep(sm, frame_end)
+    sm = multi.run_steps(sm, 110, frame_end)  # one device dispatch
 
     act = np.asarray(sm.models[0].active).reshape(2, -1)
     assert act.sum() == n, "no particles lost in migration"
@@ -125,8 +124,7 @@ def test_migration_overflow_is_counted():
     )
     sm = multi.init_state([pos], [(2.0, 0.0, 0.0)])
     n = pos.shape[0]
-    for _ in range(110):
-        sm = multi.substep(sm, jnp.float32(1.0))
+    sm = multi.run_steps(sm, 110, 1.0)  # one device dispatch
     dm = multi.diagnostics(sm)
     n_active = int(np.asarray(sm.models[0].active).sum())
     assert dm["migration_dropped"] > 0, "overflow must be counted"
@@ -247,8 +245,7 @@ def test_2d_migration_diagonal():
                             migration_capacity=4096)
     sm = multi.init_state([pos], [(2.0, 0.0, 2.0)])
     n = pos.shape[0]
-    for _ in range(110):
-        sm = multi.substep(sm, jnp.float32(1.0))
+    sm = multi.run_steps(sm, 110, 1.0)  # one device dispatch
     act = np.asarray(sm.models[0].active).reshape(4, -1)
     assert act.sum() == n, "no particles lost crossing the corner"
     assert act[3].sum() > 0, "particles should reach the (1,1) shard"

@@ -19,7 +19,7 @@ def test_grow_and_retrace_conserves_state():
     octs0 = int(s0.partition.count[0])
 
     # tight capacity: occupancy trigger (>90%) fires on the first frame
-    tight = cmt.SimConfig(domain_bits=5, max_active_blocks=octs0 + 1,
+    tight = cmt.SimConfig(domain_bits=5, max_active_blocks=octs0,
                           default_dt=5e-4)
     eng = cmt.MPMEngine(tight, [mat], tile_chunk=4)
     state = eng.init_state([pos], [(0.0, -0.4, 0.0)])
