@@ -38,9 +38,14 @@ def build(scene: str, quick: bool):
 
     # particle_tile=512 ~= one tile per occupied block (~8 ppc * 64 cells):
     # arena traffic per tile is fixed, so fewer tiles = less HBM glue
-    # (measured 70 -> 75 Mpps at 1M on v5e, round 2)
+    # (measured 70 -> 75 Mpps at 1M on v5e, round 2).
+    # mxu_precision="high" = bf16x3 transfer matmuls (~2^-21 relative, the
+    # same error class as the reference's f32 atomic adds at 2^-24 with
+    # nondeterministic order); the bench JSON reports the realized mass
+    # drift.  Conservation-critical runs keep the default "highest".
     cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=8192, default_dt=1e-4,
-                        rebucket_auto=True, pallas_chunk=16, particle_tile=512)
+                        rebucket_auto=True, pallas_chunk=16, particle_tile=512,
+                        mxu_precision="high")
     vol = cfg.default_volume()
     span = 0.12 if quick else 0.2
     lo, hi = 0.4 - span / 2, 0.4 + span / 2
@@ -58,7 +63,8 @@ def build(scene: str, quick: bool):
         # of HBM and tens of ms of arena traffic per step.
         cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=65536,
                             default_dt=1e-4, rebucket_auto=True,
-                            pallas_chunk=16, particle_tile=512)
+                            pallas_chunk=16, particle_tile=512,
+                            mxu_precision="high")
         pos = sample_sphere(cfg.dx, (0.5, 0.55, 0.5), 0.3547, cfg.ppc)
         vol = cfg.default_volume()
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
@@ -223,6 +229,9 @@ def main():
     # loud loss accounting in the recorded artifact: dropped particles or
     # block overflow would silently inflate throughput otherwise
     alive = sum(int(np.asarray(m.active).sum()) for m in state.models)
+    expected_mass = sum(p.shape[0] * m.mass for p, m in zip(parts, mats))
+    grid_mass = float(np.asarray(state.grid)[:-1, 0:4].sum())
+    mass_rel_err = abs(grid_mass - expected_mass) / expected_mass
     dropped_tiles = sum(int(np.asarray(m.tiles.dropped)[0])
                         for m in state.models)
     print(json.dumps({
@@ -241,6 +250,8 @@ def main():
         "block_overflow": int(np.asarray(state.partition.overflow)[0]),
         "model_tflops": round(model_tflops, 3),
         "model_hbm_gbs": round(model_gbs, 1),
+        "mass_rel_err": float(f"{mass_rel_err:.3e}"),
+        "mxu_precision": cfg.mxu_precision,
     }))
 
 

@@ -109,11 +109,13 @@ class SimConfig:
     pallas_chunk: int = 8
 
     # Tiles per Pallas dispatch.  Models larger than this run the
-    # gather -> kernel -> scatter pipeline in macro chunks under lax.scan:
-    # the arena relayouts materialize [mt, ...] temporaries whose tiny minor
-    # dims pad up to 32x under the (8, 128) tiling — unchunked at 25M
-    # particles (64k tiles) a single temp is 15.6 GB.
-    pallas_macro_tiles: int = 2048
+    # gather -> kernel -> scatter pipeline in macro chunks under lax.scan.
+    # With the oct-window pipeline the per-macro temporaries are only
+    # 8 KB/tile (round 2's 32x-padded arena relayouts — 15.6 GB at 25M —
+    # are gone), so the default admits ~0.5M particles per dispatch and
+    # exists only to bound temps on 100M-class models; the lax.scan
+    # restacking costs real bandwidth (measured ~1.5 ms at 1M, round 3).
+    pallas_macro_tiles: int = 65536
 
     @cached_property
     def precision(self):

@@ -98,11 +98,10 @@ def init_impl(
             pid=jnp.where(active, jnp.arange(s_cap, dtype=jnp.int32), s_cap),
             tiles=None,
         )
-        plan = part.plan_tiles(cfg, pos, active, nt)
-        pm, key_perm = part.apply_slot_permutation(raw, plan)
+        pm, tk, dr = part.sort_permute(cfg, raw, nt)
         permuted.append(pm)
-        tile_keys.append(part.tile_keys_from_slots(cfg, key_perm, plan.valid))
-        droppeds.append(plan.dropped)
+        tile_keys.append(tk)
+        droppeds.append(dr)
     partition, pool = part.rebuild(
         cfg, pool, empty_partition(cfg), tuple(tile_keys)
     )
@@ -220,11 +219,10 @@ def substep_impl(
         """Full tile plan (defrag): sort + slot permutation per model."""
         permuted, tile_keys, droppeds = [], [], []
         for m in models:
-            plan = part.plan_tiles(cfg, m.pos, m.active, m.tiles.block.shape[0])
-            pm, key_perm = part.apply_slot_permutation(m, plan)
+            pm, tk, dr = part.sort_permute(cfg, m, m.tiles.block.shape[0])
             permuted.append(pm)
-            tile_keys.append(part.tile_keys_from_slots(cfg, key_perm, plan.valid))
-            droppeds.append(plan.dropped)
+            tile_keys.append(tk)
+            droppeds.append(dr)
         return tuple(permuted), tuple(tile_keys), tuple(droppeds)
 
     def _incremental(models):
@@ -609,11 +607,9 @@ class MPMEngine:
                               jnp.arange(s_cap, dtype=jnp.int32), s_cap),
                 tiles=None,
             )
-            plan = part.plan_tiles(new_cfg, raw.pos, raw.active, nt)
-            pm, key_perm = part.apply_slot_permutation(raw, plan)
-            tk = part.tile_keys_from_slots(new_cfg, key_perm, plan.valid)
+            pm, tk, dr = part.sort_permute(new_cfg, raw, nt)
             models.append(pm._replace(tiles=part.finalize_tiles(
-                new_cfg, partition, tk, plan.dropped)))
+                new_cfg, partition, tk, dr)))
 
         new_state = ns._replace(
             grid=grid, partition=partition, models=tuple(models),
@@ -665,13 +661,10 @@ class MPMEngine:
         def rebuild_stage(s):
             permuted, tile_keys, droppeds = [], [], []
             for m in s.models:
-                plan = part.plan_tiles(cfg, m.pos, m.active,
-                                       m.tiles.block.shape[0])
-                pm, key_perm = part.apply_slot_permutation(m, plan)
+                pm, tk, dr = part.sort_permute(cfg, m, m.tiles.block.shape[0])
                 permuted.append(pm)
-                tile_keys.append(
-                    part.tile_keys_from_slots(cfg, key_perm, plan.valid))
-                droppeds.append(plan.dropped)
+                tile_keys.append(tk)
+                droppeds.append(dr)
             partition, pool = part.rebuild(
                 cfg, s.grid, s.partition, tuple(tile_keys))
             models = tuple(

@@ -6,12 +6,13 @@ table, Projects/GMPM/gmpm_simulator.cuh:429-570 for the per-substep rebuild:
 mark_active_*, thrust::exclusive_scan, update_partition, update_buckets,
 compute_bin_capacity).
 
-The reference's atomic bucket scatter becomes ONE key sort per model; ranks
-and tile padding are derived with cumsum/cummax segment tricks (TPU random
-1-element gathers/scatters run on the scalar path at ~100x below HBM speed,
-so the pipeline is built around sorts, prefix scans, and a single packed
-row-gather — measured: sort 688k keys+payload 4 ms vs 9 ms for one flat
-gather of the same size).
+The reference's atomic bucket scatter becomes ONE key sort per model that
+CARRIES the whole particle state as payload operands (measured: payload
+operands are ~free on the TPU sort); ranks and tile padding are derived
+with cumsum/cummax segment tricks, and the sorted-dense -> padded-slot
+placement is a searchsorted + per-tile contiguous window slice.  Random
+1-element gathers/scatters run on the scalar path ~100x below HBM speed,
+so nothing here indexes per particle.
 
 Coordinate convention: positions and block/cell coordinates are
 component-leading ([3, ...]).  All outputs are static-shaped so the whole
@@ -20,7 +21,7 @@ rebuild runs inside jit.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,139 +80,113 @@ def home_block(cfg: SimConfig, pos: jnp.ndarray) -> jnp.ndarray:
 # tile (bucket) building — the sort pipeline
 # --------------------------------------------------------------------------
 
-class TilePlan(NamedTuple):
-    """Result of the per-model sort pass (before the partition exists)."""
+def sort_permute(cfg: SimConfig, model, num_tiles: int):
+    """Full rebucket: group slots into block-aligned, oct-group-padded
+    tiles and move the WHOLE particle state into the new layout in one
+    ``lax.sort`` (reference: build_particle_cell_buckets + update_buckets,
+    mgmpm_kernels.cuh:37-94, 980-1000).
 
-    src: jnp.ndarray        # i32[S]; old slot feeding each new slot (S = empty)
-    valid: jnp.ndarray      # bool[S]
-    key: jnp.ndarray        # i32[S]; home-block flat key per OLD slot
-    dropped: jnp.ndarray    # i32[1]
+    Round 2 sorted (key, iota) and applied the permutation as an [S, C]
+    row gather; the [C, S] <-> [S, C] relayouts around that gather cost
+    93 ms at 1.4M slots on v5e (the C-sized minor dim pads ~9x).  A TPU
+    sort carries extra payload operands at ~zero marginal cost (measured:
+    15 operands sort exactly as fast as 2), so the state channels ride the
+    sort itself; the sorted-dense -> padded-slot placement is then T
+    contiguous window slices located with one searchsorted over the
+    monotone destination map.
 
-
-def plan_tiles(cfg: SimConfig, pos: jnp.ndarray, active: jnp.ndarray,
-               num_tiles: int) -> TilePlan:
-    """Group slots into block-aligned fixed-size tiles.
-
-    Replaces the reference's advection-bucket scatter + bin-offset scan
-    (build_particle_cell_buckets / cell_bucket_to_block / compute_bin_capacity,
-    mgmpm_kernels.cuh:37-94).  One stable key sort; ranks and padded slots via
-    segment scans (no per-particle gathers); needs no partition table.  The
-    per-tile block binding falls out of the permuted key channel (every tile
-    is block-pure, so its first slot's key identifies its home block).
+    Returns (permuted model, tile_keys i32[T], dropped i32[1]).
     """
-    s_cap = pos.shape[1]
+    s_cap = model.pos.shape[1]
     tile = cfg.particle_tile
     n3 = cfg.grid_size ** 3
 
-    key = flatten_key(cfg, home_block(cfg, pos))
-    key = jnp.where(active, key, n3).astype(jnp.int32)
+    key = flatten_key(cfg, home_block(cfg, model.pos))
+    key = jnp.where(model.active, key, n3).astype(jnp.int32)
 
+    # int payloads ride bitcast to f32 with a high exponent bit set (TPUs
+    # flush f32 denormals even through copies/selects)
+    def enc(x):
+        return jax.lax.bitcast_convert_type(x | jnp.int32(0x40000000),
+                                            jnp.float32)
+
+    def dec(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32) & jnp.int32(0x3FFFFFFF)
+
+    chans = [enc(key), model.pos[0], model.pos[1], model.pos[2]]
+    widths = []
+    for k, v in model.fields.items():
+        if v.ndim == 1:
+            chans.append(v)
+            widths.append((k, 1))
+        else:
+            chans.extend(v[i] for i in range(v.shape[0]))
+            widths.append((k, v.shape[0]))
+    chans.append(enc(model.pid))
+
+    sorted_all = jax.lax.sort((key, *chans), num_keys=1, is_stable=True)
+    skey = sorted_all[0]
+    schans = sorted_all[1:]
+    act_s = skey < n3
+
+    # padded destination slot per sorted element: level 1 tile-aligns block
+    # boundaries, level 2 group-aligns home-oct boundaries (see plan_tiles)
     iota = jnp.arange(s_cap, dtype=jnp.int32)
-    sorted_key, order = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
-    act_s = sorted_key < n3
-
-    prev_key = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_key[:-1]])
-    boundary = (sorted_key != prev_key) & act_s
-
-    # level 1: pad block boundaries to tile multiples.
-    # padded slot = dense index + cumulative padding inserted at boundaries
+    prev_key = jnp.concatenate([jnp.full((1,), -1, jnp.int32), skey[:-1]])
+    boundary = (skey != prev_key) & act_s
     seg_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
     prev_seg_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), seg_start[:-1]]
-    )
+        [jnp.zeros((1,), jnp.int32), seg_start[:-1]])
     prev_len = jnp.where(boundary, iota - prev_seg_start, 0)
     waste = jnp.where(boundary, (-prev_len) % tile, 0)
     p1 = iota + jnp.cumsum(waste)
-
-    # level 2: pad OCT boundaries (home z-oct changes) to group_tiles*tile
-    # multiples, so tile // group_tiles identifies a group of tiles all
-    # homed in one aligned 8-block z-oct (docs/design_octpool.md).  Same
-    # induction as level 1: oct starts are group-aligned, so the waste at an
-    # oct boundary depends only on the previous oct's block-padded length
-    # p1[i] - p1[prev oct start].  Blocks of one oct have consecutive flat
-    # keys, so oct identity is key >> 3.
     gt = cfg.group_tiles * tile
-    prev_okey = prev_key >> 3
-    o_boundary = ((sorted_key >> 3) != prev_okey) & act_s & boundary
+    o_boundary = ((skey >> 3) != (prev_key >> 3)) & boundary
     o_start_p1 = jax.lax.cummax(jnp.where(o_boundary, p1, 0))
     prev_o_p1 = jnp.concatenate([jnp.zeros((1,), jnp.int32), o_start_p1[:-1]])
     prev_o_len = jnp.where(o_boundary, p1 - prev_o_p1, 0)
     waste2 = jnp.where(o_boundary, (-prev_o_len) % gt, 0)
     new_slot = p1 + jnp.cumsum(waste2)
-    new_slot = jnp.where(act_s & (new_slot < s_cap), new_slot, s_cap)
-    dropped = jnp.sum(act_s & (new_slot >= s_cap), dtype=jnp.int32).reshape(1)
+    fits = act_s & (new_slot < s_cap)
+    dropped = jnp.sum(act_s & ~fits, dtype=jnp.int32).reshape(1)
+    new_slot = jnp.where(fits, new_slot, s_cap)
 
-    # give every dropped/invalid lane a DISTINCT out-of-bounds index so the
-    # scatter qualifies for XLA's unique-indices fast path (the generic
-    # scatter serializes against duplicate hazards — measured ~10x slower
-    # than the row gather on TPU at 1.6M lanes)
-    new_slot_u = jnp.where(new_slot < s_cap, new_slot, s_cap + iota)
-    src = jnp.full((s_cap,), s_cap, jnp.int32)
-    src = src.at[new_slot_u].set(order, mode="drop", unique_indices=True)
-    valid = src < s_cap
+    # dense window start per destination tile (new_slot is monotone; every
+    # non-empty tile's range starts exactly at t*tile by construction)
+    starts = jnp.searchsorted(
+        new_slot, jnp.arange(num_tiles + 1, dtype=jnp.int32) * tile,
+        side="left").astype(jnp.int32)
+    dstart, dlen = starts[:-1], jnp.minimum(starts[1:] - starts[:-1], tile)
 
-    return TilePlan(src=src, valid=valid, key=key, dropped=dropped)
+    packed = jnp.stack(schans, axis=0)                    # [C, S]
+    c = packed.shape[0]
+    win = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(packed, (0, o), (c, tile))
+    )(jnp.minimum(dstart, s_cap - tile))                  # [T, C, tile]
+    valid = (jnp.arange(tile, dtype=jnp.int32)[None, :]
+             < dlen[:, None])                             # [T, tile]
+    out = jnp.moveaxis(win, 0, 1).reshape(c, num_tiles * tile)
+    vflat = valid.reshape(-1)
 
-
-def apply_slot_permutation(model, plan: TilePlan):
-    """Move a ParticleModel into the new slot layout (reference
-    update_buckets, mgmpm_kernels.cuh:980-1000) and derive per-tile block
-    keys.
-
-    All state (plus the home-block key channel) is packed into ONE [S, C]
-    matrix and permuted with a single row gather — per-array flat gathers hit
-    the TPU scalar path and are an order of magnitude slower.
-
-    Returns (permuted model WITHOUT tiles attached, tile_keys i32[T]).
-    """
-    s_cap = model.pos.shape[1]
-    gidx = jnp.minimum(plan.src, s_cap - 1)
-
-    comps = [model.pos]
-    widths = [("pos", 3)]
-    for k, v in model.fields.items():
-        if v.ndim == 1:
-            comps.append(v[None, :])
-            widths.append((k, 1))
-        else:
-            comps.append(v)
-            widths.append((k, v.shape[0]))
-    # int payloads ride along bitcast to f32; OR in a high exponent bit so
-    # small ints do not become denormals (TPUs flush denormals to zero even
-    # through copies/selects)
-    def enc(x):
-        return jax.lax.bitcast_convert_type(x | jnp.int32(0x40000000),
-                                            jnp.float32)[None, :]
-
-    comps.append(enc(model.pid))
-    widths.append(("pid", 1))
-    comps.append(enc(plan.key))
-    widths.append(("key", 1))
-
-    packed = jnp.concatenate(comps, axis=0).T          # [S, C]
-    rows = packed[gidx]                                # single row gather
-    out = rows.T                                       # [C, S]
-
-    off = 0
-    parts = {}
-    for name, w in widths:
-        parts[name] = out[off : off + w]
-        off += w
-    vmask = plan.valid
-    pos = jnp.where(vmask[None, :], parts["pos"], 0.0)
+    key_out = dec(out[0])
+    pos = jnp.where(vflat[None, :], out[1:4], 0.0)
     fields = {}
-    for k, v in model.fields.items():
-        val = parts[k] if v.ndim > 1 else parts[k][0]
-        fields[k] = jnp.where(vmask if val.ndim == 1 else vmask[None, :], val, 0.0)
-    def dec(x):
-        return jax.lax.bitcast_convert_type(x, jnp.int32) & jnp.int32(0x3FFFFFFF)
+    off = 4
+    for name, w in widths:
+        val = out[off] if w == 1 else out[off : off + w]
+        fields[name] = jnp.where(
+            vflat if w == 1 else vflat[None, :], val, 0.0)
+        off += w
+    pid = jnp.where(vflat, dec(out[off]), s_cap)
 
-    pid = jnp.where(vmask, dec(parts["pid"][0]), s_cap)
+    tile_keys = jnp.where(
+        dlen > 0, jnp.where(valid[:, 0], key_out[:: tile], n3), n3
+    ).astype(jnp.int32)
 
-    key_perm = dec(parts["key"][0])
     return (
-        model._replace(pos=pos, fields=fields, active=vmask, pid=pid),
-        key_perm,
+        model._replace(pos=pos, fields=fields, active=vflat, pid=pid),
+        tile_keys,
+        dropped,
     )
 
 
@@ -353,17 +328,6 @@ def incremental_plan(cfg: SimConfig, model, tile_keys: jnp.ndarray):
 
     model2 = model._replace(pos=pos2, fields=fields2, active=active2, pid=pid2)
     return model2, tile_keys2.astype(jnp.int32), deferred.reshape(1)
-
-
-def tile_keys_from_slots(cfg: SimConfig, key_perm: jnp.ndarray,
-                         valid: jnp.ndarray) -> jnp.ndarray:
-    """Per-tile home-block key = key of the tile's first slot (tiles are
-    block-pure by construction)."""
-    n3 = cfg.grid_size ** 3
-    tile = cfg.particle_tile
-    starts_key = key_perm[:: tile]
-    starts_valid = valid[:: tile]
-    return jnp.where(starts_valid, starts_key, n3)
 
 
 def finalize_tiles(cfg: SimConfig, partition: Partition, tile_keys: jnp.ndarray,

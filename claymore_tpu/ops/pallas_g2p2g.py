@@ -157,6 +157,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             key = keys[i]
             gi = i // gt
             shift = (key & 7) * 16                        # z8 lane offset
+            if _os2.environ.get("CM_KNOCK") == "staticshift":
+                shift = 0
             pos = pos_ref[:, i, :]                        # [3, tile]
             base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
             kc = jnp.minimum(key, n3 - 1)
@@ -227,6 +229,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             key = keys[i]
             gi = i // gt
             shift = (key & 7) * 16
+            if _os2.environ.get("CM_KNOCK") == "staticshift":
+                shift = 0
             new_pos = pos + vel * dt
             out_pos_ref[:, i, :] = new_pos
 
@@ -501,8 +505,11 @@ def g2p2g_pallas(
         )
 
     if n_full * macro == num_tiles and n_full <= 1:
+        # single-dispatch fast path: pass the reshape views directly —
+        # tile_slice's dynamic_slices materialize full copies (~0.8 ms at
+        # 1M in the device trace)
         acc, (pos_o, fields_o, act_o) = run_macro(
-            num_tiles, next_pool, tile_slice(0, num_tiles))
+            num_tiles, next_pool, (tile_key, pos_v, act_v, fields_v))
         new_pos = pos_o.reshape(3, s_cap)
         new_field_arrays = list(fields_o)
         new_active = act_o.reshape(s_cap) > 0

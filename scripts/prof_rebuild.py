@@ -52,13 +52,8 @@ def main():
         k2, o2 = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
         return s._replace(dt=s.dt + 0.0 * k2[0].astype(jnp.float32))
 
-    def plan_only(s):
-        plan = part.plan_tiles(cfg, s.models[0].pos, s.models[0].active, nt)
-        return s._replace(dt=s.dt + 0.0 * plan.src[0].astype(jnp.float32))
-
     def plan_permute(s):
-        plan = part.plan_tiles(cfg, s.models[0].pos, s.models[0].active, nt)
-        pm, kp = part.apply_slot_permutation(s.models[0], plan)
+        pm, tk, dr = part.sort_permute(cfg, s.models[0], nt)
         return s._replace(models=(pm._replace(tiles=s.models[0].tiles),))
 
     def table_rebuild(s):
@@ -70,8 +65,8 @@ def main():
         return s._replace(grid=pool, partition=p2)
 
     out = {}
-    for name, f in [("sort", sort_only), ("plan(sort+scans)", plan_only),
-                    ("plan+permute", plan_permute),
+    for name, f in [("sort", sort_only),
+                    ("sort_permute", plan_permute),
                     ("table_rebuild+remap", table_rebuild)]:
         out[name] = round(timeit(f, state), 3)
     print(json.dumps(out))
