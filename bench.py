@@ -39,13 +39,11 @@ def build(scene: str, quick: bool):
     # particle_tile=512 ~= one tile per occupied block (~8 ppc * 64 cells):
     # arena traffic per tile is fixed, so fewer tiles = less HBM glue
     # (measured 70 -> 75 Mpps at 1M on v5e, round 2).
-    # mxu_precision="high" = bf16x3 transfer matmuls (~2^-21 relative, the
-    # same error class as the reference's f32 atomic adds at 2^-24 with
-    # nondeterministic order); the bench JSON reports the realized mass
-    # drift.  Conservation-critical runs keep the default "highest".
+    # mxu_precision stays "highest": the manual bf16x3 "high" emulation in
+    # the kernel ISSUES 3 matmuls + operand splits and measured 0.9 ms/step
+    # SLOWER than the hardware-fused HIGHEST at 1M (round-3 trace).
     cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=8192, default_dt=1e-4,
-                        rebucket_auto=True, pallas_chunk=16, particle_tile=512,
-                        mxu_precision="high")
+                        rebucket_auto=True, pallas_chunk=16, particle_tile=512)
     vol = cfg.default_volume()
     span = 0.12 if quick else 0.2
     lo, hi = 0.4 - span / 2, 0.4 + span / 2
@@ -63,8 +61,7 @@ def build(scene: str, quick: bool):
         # of HBM and tens of ms of arena traffic per step.
         cfg = cmt.SimConfig(domain_bits=8, max_active_blocks=65536,
                             default_dt=1e-4, rebucket_auto=True,
-                            pallas_chunk=16, particle_tile=512,
-                            mxu_precision="high")
+                            pallas_chunk=16, particle_tile=512)
         pos = sample_sphere(cfg.dx, (0.5, 0.55, 0.5), 0.3547, cfg.ppc)
         vol = cfg.default_volume()
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]

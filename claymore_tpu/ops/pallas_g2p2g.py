@@ -146,9 +146,6 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         alive = keys[0] < n3
         for k in keys[1:]:
             alive = alive | (k < n3)
-        import os as _os2
-        if _os2.environ.get("CM_KNOCK") == "deadkernel":
-            alive = alive & (dt < -1.0)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
@@ -157,8 +154,6 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             key = keys[i]
             gi = i // gt
             shift = (key & 7) * 16                        # z8 lane offset
-            if _os2.environ.get("CM_KNOCK") == "staticshift":
-                shift = 0
             pos = pos_ref[:, i, :]                        # [3, tile]
             base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
             kc = jnp.minimum(key, n3 - 1)
@@ -229,8 +224,6 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             key = keys[i]
             gi = i // gt
             shift = (key & 7) * 16
-            if _os2.environ.get("CM_KNOCK") == "staticshift":
-                shift = 0
             new_pos = pos + vel * dt
             out_pos_ref[:, i, :] = new_pos
 
@@ -421,11 +414,7 @@ def g2p2g_pallas(
         keys_m, pos_m, act_m, fields_m = inp
         widx = group_window_indices(cfg, table, keys_m)    # [mg, 4, 2]
         mg = mt // gt
-        import os as _os
-        if _os.environ.get("CM_KNOCK") == "nogather":
-            arenas_in = jnp.zeros((mg, 4, 2, 16, 128), jnp.float32)
-        else:
-            arenas_in = pool_v[widx]                       # [mg, 4, 2, 16, 128]
+        arenas_in = pool_v[widx]                           # [mg, 4, 2, 16, 128]
 
         smap = lambda t, *pref: (0, t, 0)
         in_specs = [
@@ -466,10 +455,18 @@ def g2p2g_pallas(
             in_specs=in_specs,
             out_specs=out_specs,
         )
+        # particle streams update in place (identical in/out index maps:
+        # block t is consumed before it is overwritten); without aliasing
+        # XLA keeps inputs live across the call and doubles stream traffic
+        nalias = len(field_widths)
+        aliases = {4: 0, 5: 2 + nalias}                   # pos, active
+        for i in range(nalias):
+            aliases[6 + i] = 2 + i
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shapes,
+            input_output_aliases=aliases,
             interpret=interpret,
         )(
             keys_m,
@@ -479,11 +476,8 @@ def g2p2g_pallas(
         )
 
         # window scatter-add of whole native rows (null row absorbs spill)
-        if _os.environ.get("CM_KNOCK") != "noscatter":
-            acc_pool = acc_pool.at[widx.reshape(-1)].add(
-                outs[1].reshape(-1, 16, 128))
-        else:
-            acc_pool = acc_pool + jnp.sum(outs[1]) * 0.0
+        acc_pool = acc_pool.at[widx.reshape(-1)].add(
+            outs[1].reshape(-1, 16, 128))
         nf = len(field_widths)
         return acc_pool, (outs[0], tuple(outs[2 : 2 + nf]), outs[2 + nf])
 
