@@ -148,6 +148,10 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             alive = alive | (k < n3)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+        # arena lane coordinate indices for the (by, bz, cy, cz) lane order
+        lane64i = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+        lyi = (lane64i >> 5) * 4 + ((lane64i >> 2) & 3)
+        lzi = ((lane64i >> 4) & 1) * 4 + (lane64i & 3)
 
         def _g2p_tile(i):
             """G2P for sub-tile i: velocity + affine-velocity columns."""
@@ -203,18 +207,24 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 return jnp.concatenate(parts, axis=0)     # [64, tile]
 
             wyz = yz(wy, wz)
-            myz = yz(my, wz)
-            wmz = yz(wy, mz)
-            gcat = _dotp(cfg, vflat, jnp.concatenate([wyz, myz, wmz], axis=1))
-            g0 = gcat[:, :tile].reshape(2, 3, 4, tile)        # wy*wz
-            g1 = gcat[:, tile:2 * tile].reshape(2, 3, 4, tile)  # my*wz
-            g2 = gcat[:, 2 * tile:].reshape(2, 3, 4, tile)      # wy*mz
+            # y/z moments via the cell-coordinate identity
+            # m_ax = w_ax * (cell_ax - p_ax): contract cell-scaled copies of
+            # the arena stacked on the MXU's M axis (24 -> 72 of 128 rows,
+            # which was idle) against ONE weight matrix, instead of three
+            # weight variants stacked on N (3x the MXU passes + two extra
+            # [64, tile] weight builds; measured win, round 3)
+            ly = (lyi + origin[1]).astype(dtype) * cfg.dx
+            lz = (lzi + origin[2]).astype(dtype) * cfg.dx
+            a3 = jnp.concatenate([vflat, vflat * ly, vflat * lz], axis=0)
+            gcat = _dotp(cfg, a3, wyz)                    # [72, tile]
+            gres = gcat.reshape(3, 2, 3, 4, tile)
+            g0 = gres[0]                                  # plain w*w
             wx_b = wx.reshape(2, 1, 4, tile)
             mx_b = mx.reshape(2, 1, 4, tile)
             vel = jnp.sum(g0 * wx_b, axis=(0, 2))         # [3, tile]
             col0 = jnp.sum(g0 * mx_b, axis=(0, 2))        # x-moment
-            col1 = jnp.sum(g1 * wx_b, axis=(0, 2))        # y-moment
-            col2 = jnp.sum(g2 * wx_b, axis=(0, 2))        # z-moment
+            col1 = jnp.sum(gres[1] * wx_b, axis=(0, 2)) - pos[1][None] * vel
+            col2 = jnp.sum(gres[2] * wx_b, axis=(0, 2)) - pos[2][None] * vel
             cols = (col0, col1, col2)
             a_soa = tuple(cols[c][r] for r in range(3) for c in range(3))
             return pos, origin, vel, a_soa, in_range
@@ -232,6 +242,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 for av, cv in zip(a_soa, contrib_i)
             )
 
+            ly = (lyi + origin[1]).astype(dtype) * cfg.dx
+            lz = (lzi + origin[2]).astype(dtype) * cfg.dx
             base2 = jnp.floor(new_pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
             rel2 = base2 - origin
             li2 = jnp.clip(rel2, 0, cells - 3)
@@ -250,42 +262,66 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 ms2.append(m)
             (wx2, wy2, wz2), (mx2, my2, mz2) = ws2, ms2
 
+            # --- one PURE-W matmul (K = tile, M = 128 fully used) via the
+            # moment identity m_ax = w_ax * (cell_ax - p_ax): the APIC
+            # momentum-matrix terms become output-coordinate scales of
+            # plain-weight transfers.  Round 2 concatenated 4 source terms
+            # on the contraction axis (K = 4*tile with M = 32 of 128 rows
+            # used — 4x the MXU passes) plus two extra weight builds. ---
             okf = ok[None, :].astype(dtype)
-            velm = vel * mass
-            s0 = jnp.concatenate(
-                [jnp.full((1, tile), mass, dtype), velm], axis=0
-            ) * okf                                       # [4, tile]
-            zero = jnp.zeros((1, tile), dtype)
-            s1 = jnp.concatenate(
-                [zero, q[0][None], q[3][None], q[6][None]], 0) * okf
-            s2 = jnp.concatenate(
-                [zero, q[1][None], q[4][None], q[7][None]], 0) * okf
-            s3 = jnp.concatenate(
-                [zero, q[2][None], q[5][None], q[8][None]], 0) * okf
-            sv = jnp.concatenate([s0, s1, s2, s3], axis=1)   # [4, 4*tile]
+            xp, yp, zp = new_pos[0], new_pos[1], new_pos[2]
+            q1 = (q[0], q[3], q[6])                       # Q column 0 (x)
+            q2 = (q[1], q[4], q[7])
+            q3 = (q[2], q[5], q[8])
+            chans = [jnp.full((tile,), mass, dtype)]
+            for c3 in range(3):
+                chans.append(vel[c3] * mass
+                             - q1[c3] * xp - q2[c3] * yp - q3[c3] * zp)
+            chans.extend(q1)
+            chans.extend(q2)
+            chans.extend(q3)
+            chans.extend([jnp.zeros((tile,), dtype)] * 3)
+            sv = jnp.stack(chans, axis=0) * okf           # [16, tile]
 
-            ux = jnp.concatenate([wx2, mx2, wx2, wx2], axis=1)  # [8, 4t]
-            uy = jnp.concatenate([wy2, wy2, my2, wy2], axis=1)
-            uz = jnp.concatenate([wz2, wz2, wz2, mz2], axis=1)
-
-            # E rows (bx, c, cx); F rows (by, bz, cy, cz): the [32, 64]
-            # product's (bx, by, bz) 16x16 rectangles are exactly oct-row
-            # (c, cx) x (cy, cz) rectangles
+            # E rows (bx, ch, cx); F rows (by, bz, cy, cz)
             e_parts = []
             for dx in (0, 1):
-                uxb = ux[dx * 4:(dx + 1) * 4]
+                uxb = wx2[dx * 4:(dx + 1) * 4]
                 e_parts.append(
-                    (sv[:, None, :] * uxb[None, :, :]).reshape(16, 4 * tile))
-            e = jnp.concatenate(e_parts, axis=0)          # [32, 4t]
-            f_parts = []
-            for byy in (0, 1):
-                for bzz in (0, 1):
-                    pa = uy[byy * 4:(byy + 1) * 4]
-                    pb = uz[bzz * 4:(bzz + 1) * 4]
-                    f_parts.append(
-                        (pa[:, None, :] * pb[None, :, :]).reshape(16, 4 * tile))
-            f = jnp.concatenate(f_parts, axis=0)          # [64, 4t]
-            aout = _dotp(cfg, e, f.T)                     # [32, 64]
+                    (sv[:, None, :] * uxb[None, :, :]).reshape(64, tile))
+            e = jnp.concatenate(e_parts, axis=0)          # [128, tile]
+
+            def yz2(a, b):
+                parts = []
+                for byy in (0, 1):
+                    for bzz in (0, 1):
+                        pa = a[byy * 4:(byy + 1) * 4]
+                        pb = b[bzz * 4:(bzz + 1) * 4]
+                        parts.append(
+                            (pa[:, None, :] * pb[None, :, :]).reshape(16, tile))
+                return jnp.concatenate(parts, axis=0)
+
+            f = yz2(wy2, wz2)                             # [64, tile]
+            a16 = _dotp(cfg, e, f.T)                      # [128, 64]
+
+            # combine channels: out_c = W[mv'] + cellx(row) * W[q1] +
+            # celly(lane) * W[q2] + cellz(lane) * W[q3]; mass row verbatim.
+            # ly/lz are the arena lane coordinate scales from the G2P side;
+            # cellx varies along the rect's cx rows.
+            iota4 = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+            rects = []
+            for dx in (0, 1):
+                cxr = ((origin[0] + dx * 4 + iota4).astype(dtype) * cfg.dx)
+                base_r = dx * 64
+                rows = [a16[base_r : base_r + 4]]         # mass
+                for c3 in range(3):
+                    a_v = a16[base_r + (1 + c3) * 4 : base_r + (2 + c3) * 4]
+                    a_q1 = a16[base_r + (4 + c3) * 4 : base_r + (5 + c3) * 4]
+                    a_q2 = a16[base_r + (7 + c3) * 4 : base_r + (8 + c3) * 4]
+                    a_q3 = a16[base_r + (10 + c3) * 4 : base_r + (11 + c3) * 4]
+                    rows.append(a_v + cxr * a_q1 + ly * a_q2 + lz * a_q3)
+                rects.append(jnp.concatenate(rows, axis=0))
+            aout = jnp.concatenate(rects, axis=0)         # [32, 64]
 
             # place each (bx, by) 16x32 rectangle into the group's output
             # window at lane offset z8*16 (roll; the part wrapping past lane
