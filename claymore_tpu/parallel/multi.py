@@ -161,12 +161,27 @@ class HaloComm:
         k = jnp.where(valid, keys[gidx], no).astype(jnp.int32)
         mask = valid[:, None] & lane_ok(k)
         rows = pool[gidx] * mask[:, None, :].astype(pool.dtype)
-        return k, rows, overflow
+        # per-block (z8) mass bits of the masked row, packed into one i32
+        has = jnp.any(
+            rows[:, 0:4].reshape(h, 4, 8, 16) != 0.0, axis=(1, 3))
+        bits = jnp.sum(
+            has.astype(jnp.int32) << jnp.arange(8, dtype=jnp.int32)[None, :],
+            axis=1).astype(jnp.int32)
+        return k, bits, rows, overflow
 
     def exchange_halo(self, pool, partition):
         """Pack each neighbor-facing boundary window and ship it with (a
         chain of) ppermutes; returns the received packed contributions plus
-        my total pack overflow."""
+        my total pack overflow.
+
+        The exchange is SPLIT so the payload transfer can hide behind the
+        partition rebuild (the reference overlaps peer copies with interior
+        g2p2g on spare streams, mgsp_benchmark.cuh:439-464): the partition
+        rebuild only needs each received oct's key + per-block mass BITS —
+        a few bytes per row — while the 8 KB row payloads are consumed by
+        add_halo strictly after the rebuild.  Shipping (keys, massbits)
+        and rows as separate ppermutes leaves XLA's async collectives free
+        to run the payload permute concurrently with the rebuild chain."""
         m = self.margin
         keys = partition.keys
         bounds = [self._bounds(a) for a in range(len(self.axes))]
@@ -198,14 +213,17 @@ class HaloComm:
                         ok = ok & (bz >= edge - m) & (bz < edge + m)
                 return ok
 
-            k, rows, of = self._pack_window(pool, partition, cond, lane_ok)
+            k, bits, rows, of = self._pack_window(pool, partition, cond,
+                                                  lane_ok)
             overflow = overflow + of
-            payload = (k, rows)
+            meta = (k, bits)
+            payload = rows
             for a, step in enumerate(d):
                 if step:
-                    payload = jax.tree.map(
-                        lambda x: self._shift(x, a, step), payload)
-            received.append(payload)
+                    meta = jax.tree.map(lambda x: self._shift(x, a, step),
+                                        meta)
+                    payload = self._shift(payload, a, step)
+            received.append((meta[0], meta[1], payload))
         return (received, overflow)
 
     def halo_mass_mask(self, slabs):
@@ -216,11 +234,9 @@ class HaloComm:
         cfg = self.cfg
         n3 = cfg.grid_size ** 3
         mask = jnp.zeros((n3,), jnp.bool_)
-        for keys, rows in slabs[0]:
-            h = rows.shape[0]
-            has = jnp.any(
-                rows[:, 0:4].reshape(h, 4, 8, 16) != 0.0, axis=(1, 3)
-            )                                                # [H, 8]
+        for keys, bits, _rows in slabs[0]:
+            has = (bits[:, None]
+                   >> jnp.arange(8, dtype=jnp.int32)[None, :]) & 1 > 0
             bkeys = octpool.oct_block_keys(cfg, keys)        # [H, 8]
             mask = mask.at[jnp.minimum(bkeys, n3 - 1)].max(
                 has & (bkeys < n3))
@@ -231,7 +247,7 @@ class HaloComm:
         not have active fall into the null row (they carry no mass for me by
         construction: the mass mask activated every massy received block)."""
         no = self.cfg.num_oct_keys
-        for keys, rows in slabs[0]:
+        for keys, _bits, rows in slabs[0]:
             slots = partition.table[jnp.minimum(keys, no)]
             slots = jnp.where(keys < no, slots, self.cfg.null_oct)
             pool = pool.at[slots].add(rows)
