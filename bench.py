@@ -174,7 +174,9 @@ def main():
     import jax.numpy as jnp
 
     import claymore_tpu as cmt
+    from claymore_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg, mats, parts, v0s = build(scene, quick)
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and not quick and not xla_only:

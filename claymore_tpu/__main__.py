@@ -36,7 +36,9 @@ def main():
     from .io.scene import load_scene
     from .io import checkpoint as ckpt
     from .utils.timers import StageTimer
+    from .utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     print(f"loading scene [{args.file}]")
     scene = load_scene(args.file, tile_chunk=args.tile_chunk)
     engine, state = scene.engine, scene.state

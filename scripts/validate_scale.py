@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(n_devices: int = 4) -> None:
     import jax
+    from claymore_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", n_devices)

@@ -33,6 +33,8 @@ def cloud_err(a: np.ndarray, b: np.ndarray) -> float:
 
 def validate_pallas_vs_xla() -> None:
     import jax
+    from claymore_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     import claymore_tpu as cmt
