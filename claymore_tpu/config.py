@@ -57,6 +57,15 @@ class SimConfig:
     # breaks at ~0.3%/step, docs/benchmarks.md).
     mxu_precision: str = "highest"
 
+    # --- G2P arena storage precision (Pallas backend only) ---
+    # "bfloat16" stores the gathered grid-velocity windows in bf16, halving
+    # the arena-temp HBM write + the kernel's streamed read (the G2P input
+    # is the largest stream at flagship scale).  Mass rows are untouched
+    # (P2G accumulates in f32), so conservation is unaffected; particle
+    # velocities pick up ~2^-9 relative storage quantization per gather.
+    # Off by default: bit-determinism is worth more than the few percent.
+    g2p_arena_dtype: str = "float32"
+
     # --- lazy rebucketing ---
     # Rebuild buckets/partition every K substeps instead of every substep
     # (the reference rebuilds every step).  K>1 amortizes the sort+permute

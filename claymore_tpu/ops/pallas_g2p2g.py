@@ -127,7 +127,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         dt_ref,        # f32[1]
         ndt_ref,       # f32[1]
         # streamed blocks
-        arena_ref,     # f32[gpp, 4, 2, 16, 128] grid (m, v) windows
+        arena_ref,     # f32|bf16[gpp, 4, 2, 16, 128] grid (m, v) windows
         pos_ref,       # f32[3, chunk, tile]
         act_ref,       # i32[1, chunk, tile]
         *rest,
@@ -191,7 +191,9 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     merged = jnp.where(lane < 128 - shift, r0, r1)
                     row_strips.append(merged[4:16, :32])  # velocity rows
                 strips.append(jnp.concatenate(row_strips, axis=1))
-            vflat = jnp.concatenate(strips, axis=0)       # [24, 64]
+            # bf16 arenas (g2p_arena_dtype) widen here: storage quantization
+            # only, all arithmetic below stays f32
+            vflat = jnp.concatenate(strips, axis=0).astype(dtype)  # [24, 64]
 
             # --- G2P: contract (y, z) jointly on the MXU, x on the VPU ---
             # weight rows in the block-factored (by, bz, cy, cz) lane order:
@@ -451,6 +453,11 @@ def g2p2g_pallas(
         widx = group_window_indices(cfg, table, keys_m)    # [mg, 4, 2]
         mg = mt // gt
         arenas_in = pool_v[widx]                           # [mg, 4, 2, 16, 128]
+        if cfg.g2p_arena_dtype == "bfloat16":
+            # fuses into the gather: the arena temp (the largest per-step
+            # stream at flagship scale) is written and kernel-read at half
+            # width; the f32 pool itself is untouched
+            arenas_in = arenas_in.astype(jnp.bfloat16)
 
         smap = lambda t, *pref: (0, t, 0)
         in_specs = [

@@ -58,3 +58,33 @@ def test_pallas_rejects_wide_arena():
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
     with pytest.raises(AssertionError, match="span-2"):
         cmt.MPMEngine(cfg, [mat], use_pallas=True)
+
+
+def test_bf16_arena_close_and_mass_exact():
+    """g2p_arena_dtype="bfloat16" (docs/design_round3.md §3): mass must be
+    bit-identical to the f32-arena path (P2G/mass rows untouched); particle
+    velocities may differ by the bf16 storage quantization (~2^-9 rel)."""
+    base = dict(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
+    cfg32 = cmt.SimConfig(**base)
+    cfg16 = cmt.SimConfig(**base, g2p_arena_dtype="bfloat16")
+    mat = cmt.JFluid(volume=cfg32.default_volume())
+    pos = sample_uniform_box_world(cfg32.dx, [0.45] * 3, [0.58] * 3,
+                                   cfg32.ppc)
+    e32 = cmt.MPMEngine(cfg32, [mat], tile_chunk=4, use_pallas="interpret")
+    e16 = cmt.MPMEngine(cfg16, [mat], tile_chunk=4, use_pallas="interpret")
+    s32 = e32.init_state([pos], [(0.2, -0.3, 0.1)])
+    s16 = e16.init_state([pos], [(0.2, -0.3, 0.1)])
+    fe = jnp.float32(1.0)
+    for _ in range(2):
+        s32 = e32.substep(s32, fe)
+        s16 = e16.substep(s16, fe)
+    g32, g16 = np.asarray(s32.grid), np.asarray(s16.grid)
+    # total mass: conserved identically (P2G weights still sum to 1 per
+    # particle; only the per-cell distribution shifts with the advected
+    # positions)
+    np.testing.assert_allclose(g32[:-1, 0:4].sum(), g16[:-1, 0:4].sum(),
+                               rtol=1e-6)
+    # velocity-derived state: within storage quantization over 2 steps
+    p32, p16 = e32.get_positions(s32), e16.get_positions(s16)
+    assert p32.shape == p16.shape
+    assert np.max(np.abs(p32 - p16)) < 5e-5
