@@ -166,9 +166,17 @@ def main():
     quick = "--quick" in sys.argv
     xla_only = "--xla" in sys.argv
     scene = "sphere25m"
+    precision = None
+    arena = None
     for a in sys.argv[1:]:
         if a.startswith("--scene="):
             scene = a.split("=", 1)[1]
+        # ablation knobs (perf/accuracy tradeoff study, docs/benchmarks.md):
+        # --precision=highest|high|default, --arena=bf16
+        if a.startswith("--precision="):
+            precision = a.split("=", 1)[1]
+        if a.startswith("--arena="):
+            arena = a.split("=", 1)[1]
 
     import jax
     import jax.numpy as jnp
@@ -178,6 +186,14 @@ def main():
 
     enable_compilation_cache()
     cfg, mats, parts, v0s = build(scene, quick)
+    if precision or arena:
+        import dataclasses as _dc
+        kw = {}
+        if precision:
+            kw["mxu_precision"] = precision
+        if arena:
+            kw["g2p_arena_dtype"] = {"bf16": "bfloat16"}.get(arena, arena)
+        cfg = _dc.replace(cfg, **kw)
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and not quick and not xla_only:
         try:
@@ -251,6 +267,7 @@ def main():
         "model_hbm_gbs": round(model_gbs, 1),
         "mass_rel_err": float(f"{mass_rel_err:.3e}"),
         "mxu_precision": cfg.mxu_precision,
+        "g2p_arena_dtype": cfg.g2p_arena_dtype,
     }))
 
 

@@ -150,9 +150,18 @@ def substep_impl(
     """
     dt = state.dt
 
-    pool_v, max_vel_sqr = grid_ops.grid_update(
-        cfg, state.grid, state.partition, dt, colliders, state.t
-    )
+    if use_pallas and not colliders:
+        # single-pass kernel (colliders need gathers -> XLA path)
+        from ..ops.pallas_grid import grid_update_pallas
+
+        pool_v, max_vel_sqr = grid_update_pallas(
+            cfg, state.grid, state.partition, dt,
+            interpret=(use_pallas == "interpret"),
+        )
+    else:
+        pool_v, max_vel_sqr = grid_ops.grid_update(
+            cfg, state.grid, state.partition, dt, colliders, state.t
+        )
     if comm is not None:
         max_vel_sqr = comm.reduce_max(max_vel_sqr)
     t_after = state.t + dt
@@ -638,8 +647,14 @@ class MPMEngine:
         fe = jnp.float32(1e9)
 
         def grid_stage(s):
-            pool_v, mv = grid_ops.grid_update(
-                cfg, s.grid, s.partition, s.dt, self.colliders, s.t)
+            if self.use_pallas and not self.colliders:
+                from ..ops.pallas_grid import grid_update_pallas
+                pool_v, mv = grid_update_pallas(
+                    cfg, s.grid, s.partition, s.dt,
+                    interpret=(self.use_pallas == "interpret"))
+            else:
+                pool_v, mv = grid_ops.grid_update(
+                    cfg, s.grid, s.partition, s.dt, self.colliders, s.t)
             return s._replace(grid=pool_v, max_vel=jnp.sqrt(mv))
 
         def transfer_stage(s):
@@ -680,17 +695,23 @@ class MPMEngine:
         }
         out = {}
         for name, fn in stages.items():
+            # donate the loop input: without it the carry ping-pong holds a
+            # third full state copy and the 25M flagship OOMs; each rep pays
+            # one fresh device copy instead (~ms, amortized over iters)
             f = jax.jit(lambda s, fn=fn: jax.lax.fori_loop(
-                0, iters, lambda i, s2: fn(s2), s))
-            o = f(state)
+                0, iters, lambda i, s2: fn(s2), s), donate_argnums=0)
+            o = f(jax.tree.map(jnp.copy, state))
             jax.block_until_ready(o)
             float(np.asarray(o.dt))            # force a real sync
             best = float("inf")
             for _ in range(reps):
+                s_in = jax.tree.map(jnp.copy, state)
+                jax.block_until_ready(s_in)
                 t0 = _time.perf_counter()
-                o = f(state)
+                o = f(s_in)
                 float(np.asarray(o.dt))
                 best = min(best, _time.perf_counter() - t0)
+            del o
             out[name] = best / iters * 1e3
         out["overhead"] = out["substep"] - (
             out["grid_update"] + out["g2p2g"] + out["rebuild"])

@@ -1,0 +1,123 @@
+"""Single-pass Pallas grid update.
+
+TPU-native ``update_grid_velocity_query_max`` (reference
+Projects/GMPM/mgmpm_kernels.cuh:326-420): momentum -> velocity, sticky
+domain slab, gravity (after the clamp, matching the reference's order),
+and the global max-|v|^2 CFL reduction — in ONE pass over the oct pool.
+
+The XLA formulation (core/grid.py) lowers to ~6 elementwise passes over
+the [O+1, 16, 128] pool plus materialized temporaries (measured 14.7 ms
+at 65k octs on v5e = ~150 GB/s effective); this kernel reads the pool
+once and writes it once (~1.07 GB -> HBM-roofline ~1.6 ms), with a
+per-program partial max reduced by one tiny jnp.max outside.
+
+Colliders need gather-based SDF sampling, which does not lower to
+Mosaic; scenes with colliders keep the XLA path (engine gates on it).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from ..core.types import Partition
+from ..core.octpool import oct_coord
+
+_ROWS = 128           # oct rows per program (: 128*16*128*4 = 1 MB in VMEM)
+
+
+def _make_kernel(cfg: SimConfig, total: int, rows: int):
+    g = cfg.grid_size
+    b = cfg.bound_blocks
+    gx, gy, gz = (float(v) for v in cfg.gravity)
+
+    def kernel(dt_ref, pool_ref, bx_ref, by_ref, bzo_ref, out_ref, max_ref):
+        i = pl.program_id(0)
+        blk = pool_ref[...]                                # [R, 16, 128]
+        m = blk[:, 0:4]                                    # [R, 4, 128]
+        has = m > 0.0
+        minv = jnp.where(has, 1.0 / jnp.where(has, m, 1.0), 0.0)
+        dt = dt_ref[0, 0]
+
+        # sticky-slab keep masks (reference is_in_bound bitmask,
+        # mgmpm_kernels.cuh:339-371): x/y vary per oct row, z per lane
+        def near(c):
+            return (c < b) | (c >= g - b)
+
+        kx = jnp.logical_not(near(bx_ref[...]))[:, :, None]    # [R,1,1]
+        ky = jnp.logical_not(near(by_ref[...]))[:, :, None]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        bz = bzo_ref[...][:, None, :] * 8 + (lane >> 4)[None]  # [R,1,128]
+        kz = jnp.logical_not(near(bz))
+
+        vs = []
+        for c, keep, gacc in ((0, kx, gx), (1, ky, gy), (2, kz, gz)):
+            v = blk[:, 4 + 4 * c : 8 + 4 * c] * minv
+            v = jnp.where(keep, v, 0.0) + gacc * dt        # gravity AFTER clamp
+            v = jnp.where(has, v, 0.0)
+            vs.append(v)
+
+        out_ref[:, 0:4] = m
+        out_ref[:, 4:8] = vs[0]
+        out_ref[:, 8:12] = vs[1]
+        out_ref[:, 12:16] = vs[2]
+
+        vsq = vs[0] * vs[0] + vs[1] * vs[1] + vs[2] * vs[2]
+        vsq = jnp.where(jnp.isnan(vsq), jnp.inf, vsq)      # NaN poisons dt
+        # ragged final program: padding rows read garbage — mask them out
+        # of the reduction (their writes are dropped by pallas)
+        ridx = i * rows + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, 1, 1), 0)
+        vsq = jnp.where(has & (ridx < total), vsq, 0.0)
+        max_ref[0, 0] = jnp.max(vsq)
+
+    return kernel
+
+
+def grid_update_pallas(
+    cfg: SimConfig,
+    pool: jnp.ndarray,
+    partition: Partition,
+    dt: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(m, mom) pool -> (m, v) pool and max |v|^2 (oct layout, one pass)."""
+    o1 = pool.shape[0]
+    rows = min(_ROWS, o1)
+    n_prog = -(-o1 // rows)                               # ceil
+    bx, by, bzo = oct_coord(
+        cfg, jnp.minimum(partition.keys, cfg.num_oct_keys - 1))
+    # null row -> coord 0 (inside the sticky bound: v zeroed, like the XLA
+    # path's appended zero coords)
+    z1 = jnp.zeros((1,), jnp.int32)
+    cols = [jnp.concatenate([a.astype(jnp.int32), z1])[:, None]
+            for a in (bx, by, bzo)]                       # [O+1, 1] each
+
+    kernel = _make_kernel(cfg, o1, rows)
+    row_spec = pl.BlockSpec((rows, 16, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    pool_v, maxes = pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec, col_spec, col_spec, col_spec,
+        ],
+        out_specs=[
+            row_spec,
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+            jax.ShapeDtypeStruct((n_prog, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(dt.astype(jnp.float32), (1, 1)), pool, *cols)
+    return pool_v, jnp.max(maxes)
