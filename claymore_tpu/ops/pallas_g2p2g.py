@@ -186,14 +186,16 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 row_strips = []
                 for dy in (0, 1):
                     col = dx * 2 + dy
-                    r0 = pltpu.roll(arena_ref[gi, col, 0], -shift, 1)
-                    r1 = pltpu.roll(arena_ref[gi, col, 1], -shift, 1)
+                    # bf16 arenas widen at the load: storage quantization
+                    # only (Mosaic's dynamic rotate is 32-bit only anyway)
+                    a0 = arena_ref[gi, col, 0].astype(dtype)
+                    a1 = arena_ref[gi, col, 1].astype(dtype)
+                    r0 = pltpu.roll(a0, -shift, 1)
+                    r1 = pltpu.roll(a1, -shift, 1)
                     merged = jnp.where(lane < 128 - shift, r0, r1)
                     row_strips.append(merged[4:16, :32])  # velocity rows
                 strips.append(jnp.concatenate(row_strips, axis=1))
-            # bf16 arenas (g2p_arena_dtype) widen here: storage quantization
-            # only, all arithmetic below stays f32
-            vflat = jnp.concatenate(strips, axis=0).astype(dtype)  # [24, 64]
+            vflat = jnp.concatenate(strips, axis=0)       # [24, 64]
 
             # --- G2P: contract (y, z) jointly on the MXU, x on the VPU ---
             # weight rows in the block-factored (by, bz, cy, cz) lane order:

@@ -74,7 +74,9 @@ def _make_kernel(cfg: SimConfig, total: int, rows: int):
         ridx = i * rows + jax.lax.broadcasted_iota(
             jnp.int32, (rows, 1, 1), 0)
         vsq = jnp.where(has & (ridx < total), vsq, 0.0)
-        max_ref[0, 0] = jnp.max(vsq)
+        # per-program partial max as a broadcast (8,128) tile: the compiled
+        # Mosaic path rejects (1,1)-blocked SMEM outputs
+        max_ref[...] = jnp.full((1, 8, 128), jnp.max(vsq), jnp.float32)
 
     return kernel
 
@@ -112,11 +114,12 @@ def grid_update_pallas(
         ],
         out_specs=[
             row_spec,
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(pool.shape, pool.dtype),
-            jax.ShapeDtypeStruct((n_prog, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_prog, 8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.reshape(dt.astype(jnp.float32), (1, 1)), pool, *cols)
