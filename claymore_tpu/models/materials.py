@@ -133,16 +133,21 @@ class FixedCorotated(Material):
         return {"F": identity_f9(n)}
 
     def update(self, d_inv, dt, A: Mat3, fields: Fields):
+        # P = U diag(p_i) V^T with p_i = 2 mu (s_i - 1) + lam (J - 1) J/s_i
+        # (reference constitutive_models.cuh:36-73) is exactly
+        # P = 2 mu (F - R) + lam (J - 1) J F^{-T}, so the fused-scatter
+        # contribution P F^T V0 = V0 [2 mu (F F^T - R F^T) + lam (J-1) J I]
+        # needs only the polar rotation R and det(F) — no SVD, no inverse
+        # (F^{-T} F^T = I): ~4x fewer VPU ops inside the Pallas kernel.
         lam, mu = self.lame
         f = deformation_update(A, dt, d_inv, f9_to_soa(fields["F"]))
-        u, (s0, s1, s2), v = soa3.svd3(f)
-        J = s0 * s1 * s2
-        sl = lam * (J - 1.0)
-        p0 = 2.0 * mu * (s0 - 1.0) + sl * s1 * s2
-        p1 = 2.0 * mu * (s1 - 1.0) + sl * s0 * s2
-        p2 = 2.0 * mu * (s2 - 1.0) + sl * s0 * s1
-        P = soa3.u_diag_vt(u, p0, p1, p2, v)
-        contrib = soa3.scale(soa3.matmul_bt(P, f), self.volume)
+        r = soa3.polar3(f)
+        J = soa3.det(f)
+        ff = soa3.matmul_bt(f, f)
+        rf = soa3.matmul_bt(r, f)
+        dev = tuple(2.0 * mu * (x - y) for x, y in zip(ff, rf))
+        contrib = soa3.scale(
+            soa3.add_scaled_identity(dev, lam * (J - 1.0) * J), self.volume)
         return {"F": soa_to_f9(f)}, contrib
 
 

@@ -66,3 +66,67 @@ def test_polar_rotation():
     r = np.asarray(math3d.polar_rotation(jnp.asarray(a)))
     assert np.allclose(np.linalg.det(r), 1.0, atol=1e-4)
     assert np.max(np.abs(np.einsum("nij,nik->njk", r, r) - np.eye(3))) < 1e-4
+
+
+def test_polar3_newton_matches_svd_rotation():
+    """soa3.polar3 (det-scaled Newton, no SVD) vs the SVD rotation,
+    over the deformation-gradient range MPM produces."""
+    from claymore_tpu.ops import soa3
+
+    for scale, seed in ((0.05, 3), (0.4, 4), (1.0, 5)):
+        a = random_batch(512, scale=scale, seed=seed)
+        # keep to the non-inverted regime (det > 0), like stable MPM
+        d = np.linalg.det(a.astype(np.float64))
+        a = a[d > 0.05]
+        # float64 truth (NOT svd3: its f32 Jacobi rotation carries ~4e-3
+        # error near clustered singular values; polar3 measures ~1e-7)
+        u64, _, vt64 = np.linalg.svd(a.astype(np.float64))
+        r_ref = u64 @ vt64
+        m = soa3.from_dense(jnp.asarray(a))
+        r = np.stack(
+            [np.asarray(c) for c in soa3.polar3(m)], axis=-1
+        ).reshape(-1, 3, 3)
+        assert np.max(np.abs(r - r_ref)) < 1e-4, np.max(np.abs(r - r_ref))
+        eye = np.eye(3)
+        assert np.max(np.abs(np.einsum("nij,nik->njk", r, r) - eye)) < 2e-4
+
+
+def test_fixed_corotated_polar_identity_matches_svd_form():
+    """FC contrib via the polar identity == the reference's
+    U diag(p) V^T F^T V0 form (constitutive_models.cuh:36-73)."""
+    from claymore_tpu.models.materials import FixedCorotated, f9_to_soa
+    from claymore_tpu.ops import soa3
+
+    mat = FixedCorotated(volume=1e-6, e=5e3, nu=0.4)
+    lam, mu = mat.lame
+    rng = np.random.default_rng(7)
+    n = 512
+    f9 = np.asarray(
+        (np.eye(3) + 0.3 * rng.standard_normal((n, 3, 3)))
+        .reshape(n, 9).T, dtype=np.float32)
+    A = tuple(jnp.asarray(0.1 * rng.standard_normal(n), jnp.float32)
+              for _ in range(9))
+    new_fields, contrib = mat.update(4.0, 1e-4, A, {"F": jnp.asarray(f9)})
+    # reference formula on the UPDATED F (float64)
+    fn = np.asarray(new_fields["F"], np.float64).T.reshape(n, 3, 3)
+    # compare in the non-inverted regime only: for det(F) < 0 the polar
+    # factor (det -1) intentionally differs from the reference's
+    # signed-SVD rotation convention (see soa3.polar3 docstring)
+    keep = np.linalg.det(fn) > 0.05
+    u, s, vt = np.linalg.svd(fn)
+    v = np.swapaxes(vt, 1, 2)
+    # fix improper rotations (np svd returns orthogonal, not rotations)
+    for arr in (u, v):
+        neg = np.linalg.det(arr) < 0
+        arr[neg, :, 2] *= -1.0
+    s = np.where((np.linalg.det(fn) < 0)[:, None]
+                 & (np.arange(3) == 2)[None, :], -s, s)
+    J = s[:, 0] * s[:, 1] * s[:, 2]
+    p = 2 * mu * (s - 1.0) + (lam * (J - 1.0) * J)[:, None] / s
+    P = np.einsum("nij,nj,nkj->nik", u, p, v)
+    ref = np.einsum("nij,nkj->nik", P, fn) * mat.volume
+    got = np.stack([np.asarray(c, np.float64) for c in contrib],
+                   axis=-1).reshape(n, 3, 3)
+    scale_ref = np.maximum(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(got - ref)) < 2e-5 * scale_ref, (
+        np.max(np.abs(got - ref)), scale_ref)
