@@ -143,6 +143,14 @@ class FixedCorotated(Material):
         f = deformation_update(A, dt, d_inv, f9_to_soa(fields["F"]))
         r = soa3.polar3(f)
         J = soa3.det(f)
+        # Inverted elements: polar3 converges to the det=-1 orthogonal
+        # factor, which would make 2 mu (F - R) vanish at an inverted rest
+        # state (no restoring force).  Negating R there gives a det=+1
+        # rotation whose stress pushes inverted elements back — a
+        # first-order stand-in for the reference's signed-SVD convention
+        # (constitutive_models.cuh:36-73), cheap enough for the fused kernel.
+        neg = J < 0.0
+        r = tuple(jnp.where(neg, -rk, rk) for rk in r)
         ff = soa3.matmul_bt(f, f)
         rf = soa3.matmul_bt(r, f)
         dev = tuple(2.0 * mu * (x - y) for x, y in zip(ff, rf))

@@ -121,7 +121,7 @@ def cofactor(a: Mat3) -> Mat3:
     )
 
 
-def polar3(a: Mat3, iters: int = 4) -> Mat3:
+def polar3(a: Mat3, iters: int = 5) -> Mat3:
     """Orthogonal polar factor R of ``a`` (the rotation U V^T of the SVD
     for det(a) > 0) via Higham's determinant-scaled Newton iteration
 
@@ -130,12 +130,16 @@ def polar3(a: Mat3, iters: int = 4) -> Mat3:
     with X^{-T} = cofactor(X)/det(X) — no SVD, ~4x fewer VPU ops than
     svd3 when only the rotation is needed (fixed-corotated stress).  The
     scaling makes convergence condition-independent in exact arithmetic;
-    4 iterations reach f32 roundoff for the deformation gradients MPM
-    produces (singular values within a few decades of 1).  For inverted
-    elements (det(a) < 0) the iteration converges to the orthogonal
-    factor with det = -1 (the true polar factor), which differs from the
-    reference's signed-SVD rotation convention — acceptable: that regime
-    is already non-physical and svd3 remains the general path."""
+    5 iterations reach f32 roundoff even for ill-conditioned F
+    (cond ~ 500, det ~ 0.05 — 4 iterations leave a ~4e-4 tail there,
+    measured in tests/test_math3d.py).  For inverted elements
+    (det(a) < 0) the iteration converges to the orthogonal factor with
+    det = -1 (the true polar factor), which differs from the reference's
+    signed-SVD rotation convention — callers that need a restorative
+    stress under inversion must handle the sign (FixedCorotated does).
+    Near-singular inputs (|det X| underflowing) are passed through
+    unchanged so degenerate particles fail softly instead of exploding
+    through the eta scaling."""
     x = a
     for _ in range(iters):
         c = cofactor(x)
@@ -144,8 +148,14 @@ def polar3(a: Mat3, iters: int = 4) -> Mat3:
         ad = jnp.maximum(jnp.abs(d), _EPS)
         eta = jnp.exp(jnp.log(ad) * (-1.0 / 3.0))
         ci = jnp.sign(d) / (eta * ad)                 # 1/(eta * det), signed
+        # degenerate X: sign(d)=0 kills the X^{-T} term while eta ~ ad^{-1/3}
+        # blows X up ~5e3x per iteration — hold such rows fixed instead
+        degen = ad <= 2.0 * _EPS
         half = 0.5
-        x = tuple(half * (eta * xk + ci * ck) for xk, ck in zip(x, c))
+        x = tuple(
+            jnp.where(degen, xk, half * (eta * xk + ci * ck))
+            for xk, ck in zip(x, c)
+        )
     return x
 
 

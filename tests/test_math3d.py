@@ -91,6 +91,43 @@ def test_polar3_newton_matches_svd_rotation():
         assert np.max(np.abs(np.einsum("nij,nik->njk", r, r) - eye)) < 2e-4
 
 
+def test_polar3_degenerate_stays_finite():
+    """Near-singular X must fail softly (held fixed), not blow up through
+    the eta = |det|^{-1/3} scaling (ADVICE r3, soa3.polar3 guard)."""
+    from claymore_tpu.ops import soa3
+
+    a = np.zeros((4, 3, 3), np.float32)
+    a[0] = 0.0                                    # exactly singular
+    a[1] = np.diag([1.0, 1.0, 0.0])               # rank 2
+    a[2] = np.diag([1e-8, 1e-8, 1e-8])            # det underflows in f32
+    a[3] = np.eye(3)                              # sanity
+    r = np.stack([np.asarray(c) for c in soa3.polar3(soa3.from_dense(jnp.asarray(a)))],
+                 axis=-1).reshape(-1, 3, 3)
+    assert np.all(np.isfinite(r))
+    assert np.max(np.abs(r)) < 10.0
+    assert np.max(np.abs(r[3] - np.eye(3))) < 1e-6
+
+
+def test_fixed_corotated_inverted_is_restorative():
+    """For det(F) < 0 the FC stress must not vanish at an inverted rest
+    state: the contribution magnitude stays comparable to 2 mu |F|."""
+    from claymore_tpu.models.materials import FixedCorotated
+    from claymore_tpu.ops import soa3
+
+    mat = FixedCorotated(volume=1e-6, e=5e3, nu=0.4)
+    _, mu = mat.lame
+    n = 8
+    # inverted rest states: R0 diag(-1, 1, 1), would give F - polar(F) = 0
+    rng = np.random.default_rng(11)
+    f = np.tile(np.diag([-1.0, 1.0, 1.0]).astype(np.float32), (n, 1, 1))
+    f9 = f.reshape(n, 9).T
+    A = tuple(jnp.zeros(n, jnp.float32) for _ in range(9))
+    _, contrib = mat.update(4.0, 0.0, A, {"F": jnp.asarray(f9)})
+    got = np.stack([np.asarray(c) for c in contrib], axis=-1).reshape(n, 3, 3)
+    # with the det<0 guard, |contrib| ~ 2 mu |F - (-R)| V0 > 0
+    assert np.min(np.max(np.abs(got), axis=(1, 2))) > 0.5 * mu * mat.volume
+
+
 def test_fixed_corotated_polar_identity_matches_svd_form():
     """FC contrib via the polar identity == the reference's
     U diag(p) V^T F^T V0 form (constitutive_models.cuh:36-73)."""
@@ -127,6 +164,8 @@ def test_fixed_corotated_polar_identity_matches_svd_form():
     ref = np.einsum("nij,nkj->nik", P, fn) * mat.volume
     got = np.stack([np.asarray(c, np.float64) for c in contrib],
                    axis=-1).reshape(n, 3, 3)
+    got, ref = got[keep], ref[keep]
+    assert keep.sum() > n // 2  # the mask must not trivialize the test
     scale_ref = np.maximum(1.0, np.max(np.abs(ref)))
     assert np.max(np.abs(got - ref)) < 2e-5 * scale_ref, (
         np.max(np.abs(got - ref)), scale_ref)
