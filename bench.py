@@ -47,6 +47,7 @@ def build(scene: str, quick: bool):
     vol = cfg.default_volume()
     span = 0.12 if quick else 0.2
     lo, hi = 0.4 - span / 2, 0.4 + span / 2
+    colliders = ()
 
     if scene == "cube":
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
@@ -71,7 +72,7 @@ def build(scene: str, quick: bool):
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
         parts = [sample_sphere(cfg.dx, (0.4, 0.6, 0.4), span / 2 * 1.24, cfg.ppc)]
         v0s = [(0.0, -0.5, 0.0)]
-    elif scene == "dambreak":
+    elif scene in ("dambreak", "dambreak_hs"):
         # 4.3M-particle fluid spreads over far more blocks than the solids
         # (bench JSON block_overflow caught 8192 being short)
         import dataclasses as _dc
@@ -81,6 +82,12 @@ def build(scene: str, quick: bool):
             cfg.dx, [0.1, 0.1, 0.1], [0.1 + span, 0.1 + 2 * span, 0.1 + 2 * span],
             cfg.ppc)]
         v0s = [(0.0, 0.0, 0.0)]
+        if scene == "dambreak_hs":
+            # tilted frictional ramp resolved INSIDE the Pallas grid kernel
+            # (VERDICT r3 item 5: collider scenes must keep the fast path)
+            from claymore_tpu.models.boundary import HalfSpace
+            colliders = (HalfSpace((0.0, 0.12, 0.0), (0.25, 1.0, 0.0),
+                                   kind="slip", friction=0.2),)
     elif scene == "sand":
         mats = [cmt.Sand(volume=vol, e=1e4, rho=1500.0)]
         parts = [sample_uniform_box_world(
@@ -117,7 +124,7 @@ def build(scene: str, quick: bool):
         raise SystemExit(f"unknown scene {scene}")
     import dataclasses
     cfg = dataclasses.replace(cfg, max_tiles=_tight_tiles(cfg, parts))
-    return cfg, mats, parts, v0s
+    return cfg, mats, parts, v0s, colliders
 
 
 def _write_validate_artifact(path="VALIDATE.json"):
@@ -185,7 +192,7 @@ def main():
     from claymore_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg, mats, parts, v0s = build(scene, quick)
+    cfg, mats, parts, v0s, colliders = build(scene, quick)
     if precision or arena:
         import dataclasses as _dc
         kw = {}
@@ -201,8 +208,12 @@ def main():
         except Exception as e:          # never block the bench number
             with open("VALIDATE.json", "w") as f:
                 json.dump({"ok": False, "error": repr(e)[:500]}, f)
-    eng = cmt.MPMEngine(cfg, mats, tile_chunk=64,
+    eng = cmt.MPMEngine(cfg, mats, colliders, tile_chunk=64,
                         use_pallas=(on_tpu and not xla_only))
+    grid_backend = (
+        "pallas" if eng.use_pallas
+        and all(getattr(c, "pallas_ok", False) for c in colliders) else "xla"
+    )
     n = sum(p.shape[0] for p in parts)
 
     state = eng.init_state(parts, v0s)
@@ -259,6 +270,7 @@ def main():
         "ms_per_step": round(elapsed / steps * 1e3, 3),
         "steps": steps,
         "backend": "pallas" if (on_tpu and not xla_only) else "xla",
+        "grid_backend": grid_backend,
         "device": str(jax.devices()[0]),
         "active_particles": alive,
         "dropped_tiles": dropped_tiles,

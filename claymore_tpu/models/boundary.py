@@ -61,6 +61,77 @@ def _project(vel_rel, n, kind: str, friction: float):
     raise ValueError(f"unknown boundary type {kind}")
 
 
+def _project_soa(vr, n, kind: str, friction: float):
+    """Component-tuple form of ``_project`` (3-tuples of same-shape arrays),
+    Mosaic-lowerable: pure elementwise where-ladders, so it can run inside
+    the Pallas grid kernel (reference resolves collisions inside its grid
+    kernel too, MGSP/mgmpm_kernels.cuh:363)."""
+    if kind == STICKY:
+        return tuple(jnp.zeros_like(c) for c in vr)
+
+    v_dot_n = vr[0] * n[0] + vr[1] * n[1] + vr[2] * n[2]
+    tang = tuple(vr[k] - n[k] * v_dot_n for k in range(3))
+
+    if kind == SLIP:
+        if friction <= 0.0:
+            return tang
+        vn = jnp.sqrt(tang[0] ** 2 + tang[1] ** 2 + tang[2] ** 2)
+        safe_vn = jnp.maximum(vn, 1e-20)
+        scl = 1.0 + v_dot_n * friction / safe_vn
+        stop = (-v_dot_n * friction) >= vn
+        approaching = v_dot_n < 0
+        return tuple(
+            jnp.where(
+                approaching,
+                jnp.where(stop, 0.0, tang[k] * scl),
+                tang[k],
+            )
+            for k in range(3)
+        )
+
+    if kind == SEPARATE:
+        approaching = v_dot_n < 0
+        if friction == 0.0:
+            return tuple(
+                jnp.where(approaching, tang[k], vr[k]) for k in range(3)
+            )
+        vn = jnp.sqrt(tang[0] ** 2 + tang[1] ** 2 + tang[2] ** 2)
+        safe_vn = jnp.maximum(vn, 1e-20)
+        scl = 1.0 + v_dot_n * friction / safe_vn
+        stop = (-v_dot_n * friction) >= vn
+        return tuple(
+            jnp.where(
+                approaching,
+                jnp.where(stop, 0.0, tang[k] * scl),
+                vr[k],
+            )
+            for k in range(3)
+        )
+    raise ValueError(f"unknown boundary type {kind}")
+
+
+def _rot_xyz_scalars(omega, t):
+    """Rx(ox t) Ry(oy t) Rz(oz t) as nine row-major scalars (traced), the
+    in-kernel form of ``_rot_xyz``."""
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    cx, sx = jnp.cos(omega[0] * t), jnp.sin(omega[0] * t)
+    cy, sy = jnp.cos(omega[1] * t), jnp.sin(omega[1] * t)
+    cz, sz = jnp.cos(omega[2] * t), jnp.sin(omega[2] * t)
+    rx = (one, zero, zero, zero, cx, -sx, zero, sx, cx)
+    ry = (cy, zero, sy, zero, one, zero, -sy, zero, cy)
+    rz = (cz, -sz, zero, sz, cz, zero, zero, zero, one)
+
+    def mm(a, b):
+        return tuple(
+            sum(a[3 * i + k] * b[3 * k + j] for k in range(3))
+            for i in range(3)
+            for j in range(3)
+        )
+
+    return mm(mm(rx, ry), rz)
+
+
 def _rot_xyz(omega, t):
     """R = Rx(ox t) @ Ry(oy t) @ Rz(oz t) as a [3, 3] jnp matrix
     (reference rot_angle_to_matrix chain, boundary_condition.cuh:163-178)."""
@@ -161,6 +232,64 @@ class ColliderBase:
         v_new = jnp.where(hit[None], v_proj, v)
         return jnp.moveaxis(v_new, 0, 1)
 
+    def resolve_soa(self, x3, v3, t):
+        """Component-tuple resolve: ``x3``/``v3`` are 3-tuples of same-shape
+        arrays (any shape), ``t`` a traced scalar.  Pure elementwise math —
+        runs inside the Pallas grid kernel for analytic colliders (the
+        reference resolves collisions inside its grid-velocity kernel,
+        MGSP/mgmpm_kernels.cuh:363).  Only defined when the subclass
+        implements ``sdf_and_normal_soa`` (SDF-grid colliders need gathers
+        and keep the XLA path)."""
+        mo = self.motion
+        off = tuple(
+            jnp.float32(mo.trans[k]) + jnp.float32(mo.trans_vel[k]) * t
+            for k in range(3)
+        )
+        x_mt = tuple(x3[k] - off[k] for k in range(3))
+        s = 1.0 + mo.dsdt * t
+        x0 = tuple(c / s for c in x_mt)
+        rotating = mo.omega != (0.0, 0.0, 0.0)
+        if rotating:
+            r = _rot_xyz_scalars(
+                tuple(jnp.float32(c) for c in mo.omega), t)
+            # material coords: X = R^T x0
+            x_mat = tuple(
+                r[0 + k] * x0[0] + r[3 + k] * x0[1] + r[6 + k] * x0[2]
+                for k in range(3)
+            )
+        else:
+            x_mat = x0
+
+        sd, n_mat = self.sdf_and_normal_soa(x_mat)
+        hit = sd <= 0.0
+
+        om = mo.omega
+        v_obj = tuple(
+            om[(k + 1) % 3] * x_mt[(k + 2) % 3]
+            - om[(k + 2) % 3] * x_mt[(k + 1) % 3]
+            + x_mt[k] * (mo.dsdt / max(mo.scale, 1e-20))
+            + mo.trans_vel[k]
+            for k in range(3)
+        )
+        if rotating:
+            n_world = tuple(
+                r[3 * k] * n_mat[0] + r[3 * k + 1] * n_mat[1]
+                + r[3 * k + 2] * n_mat[2]
+                for k in range(3)
+            )
+        else:
+            n_world = n_mat
+        v_rel = tuple(v3[k] - v_obj[k] for k in range(3))
+        v_proj = _project_soa(v_rel, n_world, self.kind, self.friction)
+        return tuple(
+            jnp.where(hit, v_proj[k] + v_obj[k], v3[k]) for k in range(3)
+        )
+
+    @property
+    def pallas_ok(self) -> bool:
+        """True when this collider can run inside the Pallas grid kernel."""
+        return hasattr(self, "sdf_and_normal_soa")
+
 
 class HalfSpace(ColliderBase):
     """Analytic plane collider: sdf = (x - origin) . normal."""
@@ -178,6 +307,11 @@ class HalfSpace(ColliderBase):
         sd = jnp.sum((x - o) * n, axis=0)
         return sd, jnp.broadcast_to(n, x.shape)
 
+    def sdf_and_normal_soa(self, x3):
+        o, n = self.origin, self.normal
+        sd = sum((x3[k] - o[k]) * n[k] for k in range(3))
+        return sd, tuple(jnp.full_like(sd, n[k]) for k in range(3))
+
 
 class Sphere(ColliderBase):
     """Analytic sphere collider."""
@@ -194,6 +328,12 @@ class Sphere(ColliderBase):
         sd = r - self.radius
         n = d / jnp.maximum(r, 1e-20)[None]
         return sd, n
+
+    def sdf_and_normal_soa(self, x3):
+        d = tuple(x3[k] - self.center[k] for k in range(3))
+        r = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)
+        inv = 1.0 / jnp.maximum(r, 1e-20)
+        return r - self.radius, tuple(dk * inv for dk in d)
 
 
 class Box(ColliderBase):
@@ -220,6 +360,28 @@ class Box(ColliderBase):
         n = jnp.stack([(amax == k).astype(jnp.float32) * sgn[k] for k in range(3)])
         nn = jnp.sqrt(jnp.sum(n * n, axis=0))
         return sd, n / jnp.maximum(nn, 1e-20)[None]
+
+    def sdf_and_normal_soa(self, x3):
+        lo, hi = self.lo, self.hi
+        center = tuple((lo[k] + hi[k]) / 2 for k in range(3))
+        half = tuple((hi[k] - lo[k]) / 2 for k in range(3))
+        d = tuple(jnp.abs(x3[k] - center[k]) - half[k] for k in range(3))
+        out = tuple(jnp.maximum(dk, 0.0) for dk in d)
+        dmax = jnp.maximum(jnp.maximum(d[0], d[1]), d[2])
+        sd = jnp.sqrt(out[0] ** 2 + out[1] ** 2 + out[2] ** 2) + jnp.minimum(
+            dmax, 0.0)
+        # argmax via compare-ladder (matches jnp.argmax's first-max tie rule)
+        is0 = d[0] >= dmax
+        is1 = jnp.logical_not(is0) & (d[1] >= dmax)
+        is2 = jnp.logical_not(is0) & jnp.logical_not(is1)
+        sel = (is0, is1, is2)
+        n = tuple(
+            jnp.where(sel[k], jnp.sign(x3[k] - center[k]), 0.0)
+            for k in range(3)
+        )
+        nn = jnp.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2)
+        inv = 1.0 / jnp.maximum(nn, 1e-20)
+        return sd, tuple(nk * inv for nk in n)
 
 
 class SignedDistanceCollider(ColliderBase):

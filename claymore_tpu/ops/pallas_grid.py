@@ -3,7 +3,8 @@
 TPU-native ``update_grid_velocity_query_max`` (reference
 Projects/GMPM/mgmpm_kernels.cuh:326-420): momentum -> velocity, sticky
 domain slab, gravity (after the clamp, matching the reference's order),
-and the global max-|v|^2 CFL reduction — in ONE pass over the oct pool.
+analytic collision objects, and the global max-|v|^2 CFL reduction — in
+ONE pass over the oct pool.
 
 The XLA formulation (core/grid.py) lowers to ~6 elementwise passes over
 the [O+1, 16, 128] pool plus materialized temporaries (measured 14.7 ms
@@ -11,13 +12,17 @@ at 65k octs on v5e = ~150 GB/s effective); this kernel reads the pool
 once and writes it once (~1.07 GB -> HBM-roofline ~1.6 ms), with a
 per-program partial max reduced by one tiny jnp.max outside.
 
-Colliders need gather-based SDF sampling, which does not lower to
-Mosaic; scenes with colliders keep the XLA path (engine gates on it).
+Analytic colliders (half-space / sphere / box, incl. animated rigid
+motion) are branch-free VPU math and run inside the kernel via their
+``resolve_soa`` component form — the reference likewise resolves
+collisions inside its grid-velocity kernel (MGSP/mgmpm_kernels.cuh:363).
+Only the SDF-grid collider needs gathers (no Mosaic lowering); scenes
+using it keep the XLA path (engine gates on ``pallas_ok``).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,18 +36,20 @@ from ..core.octpool import oct_coord
 _ROWS = 128           # oct rows per program (: 128*16*128*4 = 1 MB in VMEM)
 
 
-def _make_kernel(cfg: SimConfig, total: int, rows: int):
+def _make_kernel(cfg: SimConfig, total: int, rows: int, colliders=()):
     g = cfg.grid_size
     b = cfg.bound_blocks
+    bs = cfg.block_size
     gx, gy, gz = (float(v) for v in cfg.gravity)
 
-    def kernel(dt_ref, pool_ref, bx_ref, by_ref, bzo_ref, out_ref, max_ref):
+    def kernel(sc_ref, pool_ref, bx_ref, by_ref, bzo_ref, out_ref, max_ref):
         i = pl.program_id(0)
         blk = pool_ref[...]                                # [R, 16, 128]
         m = blk[:, 0:4]                                    # [R, 4, 128]
         has = m > 0.0
         minv = jnp.where(has, 1.0 / jnp.where(has, m, 1.0), 0.0)
-        dt = dt_ref[0, 0]
+        dt = sc_ref[0, 0]
+        t = sc_ref[0, 1]
 
         # sticky-slab keep masks (reference is_in_bound bitmask,
         # mgmpm_kernels.cuh:339-371): x/y vary per oct row, z per lane
@@ -59,8 +66,27 @@ def _make_kernel(cfg: SimConfig, total: int, rows: int):
         for c, keep, gacc in ((0, kx, gx), (1, ky, gy), (2, kz, gz)):
             v = blk[:, 4 + 4 * c : 8 + 4 * c] * minv
             v = jnp.where(keep, v, 0.0) + gacc * dt        # gravity AFTER clamp
-            v = jnp.where(has, v, 0.0)
             vs.append(v)
+
+        if colliders:
+            # world cell positions: rows are (c, cx) so the channel view's
+            # sub-row is cx; lanes are (z8, cy, cz)
+            cxi = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
+            cy = (lane >> 2) & 3
+            cz = lane & 3
+            xw = ((bx_ref[...][:, :, None] * bs + cxi).astype(jnp.float32)
+                  * cfg.dx)
+            yw = ((by_ref[...][:, :, None] * bs + cy[None]).astype(jnp.float32)
+                  * cfg.dx)
+            zw = ((bz * bs + cz[None]).astype(jnp.float32) * cfg.dx)
+            shape = vs[0].shape
+            x3 = tuple(jnp.broadcast_to(a, shape) for a in (xw, yw, zw))
+            v3 = tuple(vs)
+            for col in colliders:
+                v3 = col.resolve_soa(x3, v3, t)
+            vs = list(v3)
+
+        vs = [jnp.where(has, v, 0.0) for v in vs]
 
         out_ref[:, 0:4] = m
         out_ref[:, 4:8] = vs[0]
@@ -86,9 +112,15 @@ def grid_update_pallas(
     pool: jnp.ndarray,
     partition: Partition,
     dt: jnp.ndarray,
+    colliders: Sequence = (),
+    collider_time: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(m, mom) pool -> (m, v) pool and max |v|^2 (oct layout, one pass)."""
+    assert all(getattr(c, "pallas_ok", False) for c in colliders), (
+        "grid_update_pallas only takes analytic colliders (resolve_soa); "
+        "SDF-grid colliders need the XLA path"
+    )
     o1 = pool.shape[0]
     rows = min(_ROWS, o1)
     n_prog = -(-o1 // rows)                               # ceil
@@ -100,11 +132,14 @@ def grid_update_pallas(
     cols = [jnp.concatenate([a.astype(jnp.int32), z1])[:, None]
             for a in (bx, by, bzo)]                       # [O+1, 1] each
 
-    kernel = _make_kernel(cfg, o1, rows)
+    kernel = _make_kernel(cfg, o1, rows, tuple(colliders))
     row_spec = pl.BlockSpec((rows, 16, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    t = collider_time if collider_time is not None else jnp.float32(0.0)
+    scalars = jnp.stack([dt.astype(jnp.float32),
+                         jnp.asarray(t, jnp.float32)]).reshape(1, 2)
     pool_v, maxes = pl.pallas_call(
         kernel,
         grid=(n_prog,),
@@ -122,5 +157,5 @@ def grid_update_pallas(
             jax.ShapeDtypeStruct((n_prog, 8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.reshape(dt.astype(jnp.float32), (1, 1)), pool, *cols)
+    )(scalars, pool, *cols)
     return pool_v, jnp.max(maxes)

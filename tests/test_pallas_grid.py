@@ -38,23 +38,29 @@ def _random_partition_pool(cfg, n_active, seed=0, nan_at=None):
     return part, jnp.asarray(pool)
 
 
-def _check(cfg, part, pool, dt=3e-4):
+def _check(cfg, part, pool, dt=3e-4, colliders=(), t=0.0, atol=1e-9):
     ref_pool, ref_max = grid_ops.grid_update(cfg, pool, part,
-                                             jnp.float32(dt))
+                                             jnp.float32(dt), colliders,
+                                             jnp.float32(t))
     pal_pool, pal_max = grid_update_pallas(cfg, pool, part,
-                                           jnp.float32(dt), interpret=True)
+                                           jnp.float32(dt),
+                                           colliders=colliders,
+                                           collider_time=jnp.float32(t),
+                                           interpret=True)
     rp, pp = np.asarray(ref_pool), np.asarray(pal_pool)
     # mass rows are pass-through: bit-exact
     np.testing.assert_array_equal(rp[:, 0:4], pp[:, 0:4])
     # velocities may differ by FMA-contraction ulps between the two
     # lowerings (observed 4.7e-10 abs on CPU interpret vs XLA:CPU)
     np.testing.assert_allclose(rp[:, 4:16], pp[:, 4:16],
-                               rtol=1e-4, atol=1e-9)
+                               rtol=1e-4, atol=atol)
     rm, pm = float(ref_max), float(pal_max)
     if np.isinf(rm):
         assert np.isinf(pm)
     else:
-        assert abs(rm - pm) <= 1e-12 * max(1.0, abs(rm))
+        # collider projections accumulate a few FMA ulps into |v|^2
+        mtol = 1e-12 if not colliders else 1e-6
+        assert abs(rm - pm) <= mtol * max(1.0, abs(rm))
 
 
 def test_matches_xla_incl_boundary_octs():
@@ -72,6 +78,37 @@ def test_ragged_grid_and_null_row():
     pool = pool.at[-1, 0:4].set(1.0)
     pool = pool.at[-1, 4:8].set(0.25)
     _check(cfg, part, pool)
+
+
+def test_analytic_colliders_in_kernel_match_xla():
+    """Half-space + sphere + box (mixed kinds, friction, animated motion)
+    resolved INSIDE the Pallas grid kernel vs the XLA oracle (the
+    reference resolves collisions in-kernel, MGSP/mgmpm_kernels.cuh:363)."""
+    from claymore_tpu.models.boundary import (
+        Box, HalfSpace, RigidMotion, Sphere)
+
+    cfg = cmt.SimConfig(domain_bits=6, max_active_blocks=192)
+    part, pool = _random_partition_pool(cfg, n_active=150, seed=4)
+    colliders = (
+        HalfSpace((0.0, 0.3, 0.0), (0.1, 1.0, 0.0), kind="slip",
+                  friction=0.3),
+        Sphere((0.5, 0.5, 0.5), 0.2, kind="separate", friction=0.1,
+               motion=RigidMotion(trans_vel=(0.05, 0.0, 0.0),
+                                  omega=(0.0, 1.5, 0.0))),
+        Box((0.6, 0.1, 0.6), (0.9, 0.4, 0.9), kind="sticky"),
+    )
+    assert all(c.pallas_ok for c in colliders)
+    # atol 1e-7: the in-kernel projection's FMA ordering differs from the
+    # XLA oracle's by a few ulps on near-zero velocities
+    _check(cfg, part, pool, colliders=colliders, t=0.37, atol=1e-7)
+
+
+def test_sdf_collider_is_not_pallas_ok():
+    from claymore_tpu.models.boundary import SignedDistanceCollider
+
+    sdf = np.ones((8, 8, 8), np.float32)
+    col = SignedDistanceCollider(sdf, dx=1.0 / 8)
+    assert not col.pallas_ok
 
 
 def test_nan_momentum_poisons_max():
