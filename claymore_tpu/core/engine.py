@@ -61,6 +61,43 @@ def _compact_positions(pos, active, size, s_cap):
     return pos.T[jnp.minimum(idx, s_cap - 1)]
 
 
+def _slice_tiles(cfg: SimConfig, model: ParticleModel, lo: int,
+                 n: int) -> ParticleModel:
+    """Static tile-range view [lo, lo+n) of a model (slot axes sliced in
+    tile units) for the boundary/interior transfer split."""
+    tile = cfg.particle_tile
+    a, b = lo * tile, (lo + n) * tile
+    tm = model.tiles
+    tiles = tm._replace(
+        block=tm.block[lo : lo + n],
+        bcoord=tm.bcoord[:, lo : lo + n],
+        tvalid=tm.tvalid[lo : lo + n],
+    )
+    return model._replace(
+        pos=model.pos[:, a:b],
+        fields={k: v[..., a:b] for k, v in model.fields.items()},
+        active=model.active[a:b],
+        pid=model.pid[a:b],
+        tiles=tiles,
+    )
+
+
+def _concat_sliced(orig: ParticleModel, ma: ParticleModel,
+                   mb: ParticleModel) -> ParticleModel:
+    """Merge two transfer-split results back into the original layout.
+    Tiles are unchanged by the transfer, so the original TileMap carries
+    over (incl. its dropped counter)."""
+    cat = lambda x, y, ax: jnp.concatenate([x, y], axis=ax)
+    return orig._replace(
+        pos=cat(ma.pos, mb.pos, 1),
+        fields={k: cat(ma.fields[k], mb.fields[k], ma.fields[k].ndim - 1)
+                for k in orig.fields},
+        active=cat(ma.active, mb.active, 0),
+        pid=cat(ma.pid, mb.pid, 0),
+        tiles=orig.tiles,
+    )
+
+
 def empty_partition(cfg: SimConfig) -> Partition:
     return Partition(
         table=jnp.full((cfg.num_oct_keys + 1,), cfg.null_oct, jnp.int32),
@@ -78,6 +115,7 @@ def init_impl(
     pos_tuple,
     active_tuple,
     v0_tuple,
+    region_fn=None,
 ) -> SimState:
     """Jittable initial setup: partition + tiles + rasterized grid
     (reference initial_setup, gmpm_simulator.cuh:637-781).  Runs per shard
@@ -98,7 +136,7 @@ def init_impl(
             pid=jnp.where(active, jnp.arange(s_cap, dtype=jnp.int32), s_cap),
             tiles=None,
         )
-        pm, tk, dr = part.sort_permute(cfg, raw, nt)
+        pm, tk, dr = part.sort_permute(cfg, raw, nt, region_fn=region_fn)
         permuted.append(pm)
         tile_keys.append(tk)
         droppeds.append(dr)
@@ -150,12 +188,14 @@ def substep_impl(
     """
     dt = state.dt
 
-    if use_pallas and not colliders:
-        # single-pass kernel (colliders need gathers -> XLA path)
+    if use_pallas and all(getattr(c, "pallas_ok", False) for c in colliders):
+        # single-pass kernel; analytic colliders run inside it (only the
+        # SDF-grid collider needs gathers -> XLA path)
         from ..ops.pallas_grid import grid_update_pallas
 
         pool_v, max_vel_sqr = grid_update_pallas(
             cfg, state.grid, state.partition, dt,
+            colliders=colliders, collider_time=state.t,
             interpret=(use_pallas == "interpret"),
         )
     else:
@@ -167,23 +207,73 @@ def substep_impl(
     t_after = state.t + dt
     next_dt = grid_ops.compute_dt(cfg, max_vel_sqr, t_after, frame_end)
 
-    next_pool = jnp.zeros_like(state.grid)
-    new_models = []
-    for mat, model in zip(materials, state.models):
+    def run_g2p2g(mat, model, next_pool):
         if use_pallas:
             from ..ops.pallas_g2p2g import g2p2g_pallas
 
-            model, next_pool = g2p2g_pallas(
+            return g2p2g_pallas(
                 cfg, mat, pool_v, state.partition.table, model,
                 dt, next_dt, next_pool,
                 interpret=(use_pallas == "interpret"),
             )
-        else:
-            model, next_pool = transfer.g2p2g_model(
-                cfg, mat, pool_v, state.partition.table, model,
-                dt, next_dt, next_pool, tile_chunk,
-            )
-        new_models.append(model)
+        return transfer.g2p2g_model(
+            cfg, mat, pool_v, state.partition.table, model,
+            dt, next_dt, next_pool, tile_chunk,
+        )
+
+    # boundary/interior transfer split (reference halo-first g2p2g with
+    # peer copies overlapping interior g2p2g, mgsp_benchmark.cuh:439-464):
+    # the tile plan sorts boundary-oct tiles into a static prefix, so the
+    # transfer runs [0, bt) first, issues the halo payload ppermute, then
+    # runs [bt, T) — XLA's async collectives overlap the payload with the
+    # interior dispatch instead of only the ~ms-scale rebuild.  Requires
+    # the full-sort plan (the incremental mover path scatters into
+    # arbitrary free tiles, breaking the prefix invariant).
+    split = (comm is not None and getattr(comm, "overlap", False)
+             and cfg.defrag_every == 1)
+    halo_slabs = None
+    halo_overflow = state.halo_overflow
+    next_pool = jnp.zeros_like(state.grid)
+    if not split:
+        new_models = []
+        for mat, model in zip(materials, state.models):
+            model, next_pool = run_g2p2g(mat, model, next_pool)
+            new_models.append(model)
+        if comm is not None:
+            halo_slabs = comm.exchange_halo(next_pool, state.partition)
+            halo_overflow = halo_overflow + halo_slabs[1]
+    else:
+        import math as _math
+
+        n3 = cfg.grid_size ** 3
+        mult = _math.lcm(cfg.group_tiles, tile_chunk)
+        plan = []
+        for mat, model in zip(materials, state.models):
+            tcount = model.tiles.block.shape[0]
+            bt = comm.boundary_tile_cap(tcount, mult)
+            ma, net = _slice_tiles(cfg, model, 0, bt), None
+            if bt < tcount:
+                net = _slice_tiles(cfg, model, bt, tcount - bt)
+                # boundary tiles that overflowed the static prefix would
+                # ship incomplete window rows — count them loudly
+                tk = part.flatten_key(cfg, net.tiles.bcoord)
+                bad = net.tiles.tvalid & comm.is_boundary_key(
+                    jnp.minimum(tk, n3 - 1))
+                halo_overflow = halo_overflow + jnp.sum(
+                    bad, dtype=jnp.int32).reshape(1)
+            ma, next_pool = run_g2p2g(mat, ma, next_pool)
+            plan.append((mat, model, ma, net))
+        # window rows are complete: only boundary-prefix tiles can scatter
+        # into shipped halo lanes (HaloComm.is_boundary_key is conservative)
+        halo_slabs = comm.exchange_halo(next_pool, state.partition)
+        halo_overflow = halo_overflow + halo_slabs[1]
+        new_models = []
+        for mat, model, ma, net in plan:
+            if net is None:
+                new_models.append(ma._replace(tiles=model.tiles))
+                continue
+            net, next_pool = run_g2p2g(mat, net, next_pool)
+            new_models.append(_concat_sliced(model, ma, net))
 
     # lazy rebucketing: rebuild buckets/partition only every K substeps
     # (reference rebuilds every substep; K>1 amortizes the sort+permute
@@ -211,12 +301,10 @@ def substep_impl(
         )
 
     extra_mask = None
-    halo_slabs = None
     mig_dropped = state.mig_dropped
-    halo_overflow = state.halo_overflow
     if comm is not None:
-        halo_slabs = comm.exchange_halo(next_pool, state.partition)
-        halo_overflow = halo_overflow + halo_slabs[1]
+        # (exchange_halo already ran in the transfer section — under the
+        # split, between the boundary and interior dispatches)
         # migration only takes effect on rebuild steps (migrants would sit
         # untiled otherwise); collectives run unconditionally, payload-masked
         new_models, mig_drop = comm.migrate(new_models, materials,
@@ -225,10 +313,14 @@ def substep_impl(
         extra_mask = comm.halo_mass_mask(halo_slabs)
 
     def _plan(models):
-        """Full tile plan (defrag): sort + slot permutation per model."""
+        """Full tile plan (defrag): sort + slot permutation per model.
+        Under the transfer split, boundary-oct tiles sort into the static
+        prefix (region_fn)."""
+        rfn = comm.is_boundary_key if split else None
         permuted, tile_keys, droppeds = [], [], []
         for m in models:
-            pm, tk, dr = part.sort_permute(cfg, m, m.tiles.block.shape[0])
+            pm, tk, dr = part.sort_permute(
+                cfg, m, m.tiles.block.shape[0], region_fn=rfn)
             permuted.append(pm)
             tile_keys.append(tk)
             droppeds.append(dr)
@@ -349,6 +441,20 @@ class MPMEngine:
         self.colliders = tuple(colliders)
         self.tile_chunk = tile_chunk
         self.use_pallas = use_pallas
+        if use_pallas and not all(
+            getattr(c, "pallas_ok", False) for c in self.colliders
+        ):
+            # loud, not silent: the XLA grid formulation costs ~7x the
+            # single-pass kernel (measured 14.7 vs ~2 ms at 65k octs)
+            import warnings
+
+            slow = [type(c).__name__ for c in self.colliders
+                    if not getattr(c, "pallas_ok", False)]
+            warnings.warn(
+                f"colliders {slow} have no in-kernel (resolve_soa) form; "
+                "the grid update falls back to the slower XLA path",
+                RuntimeWarning, stacklevel=2,
+            )
         if use_pallas:
             # the oct-window kernel relies on the tile plan's group
             # invariant (tile // group_tiles shares one home oct) and on
@@ -647,10 +753,13 @@ class MPMEngine:
         fe = jnp.float32(1e9)
 
         def grid_stage(s):
-            if self.use_pallas and not self.colliders:
+            if self.use_pallas and all(
+                getattr(c, "pallas_ok", False) for c in self.colliders
+            ):
                 from ..ops.pallas_grid import grid_update_pallas
                 pool_v, mv = grid_update_pallas(
                     cfg, s.grid, s.partition, s.dt,
+                    colliders=self.colliders, collider_time=s.t,
                     interpret=(self.use_pallas == "interpret"))
             else:
                 pool_v, mv = grid_ops.grid_update(
@@ -703,7 +812,8 @@ class MPMEngine:
             o = f(jax.tree.map(jnp.copy, state))
             jax.block_until_ready(o)
             float(np.asarray(o.dt))            # force a real sync
-            best = float("inf")
+            del o                              # free before the next copy:
+            best = float("inf")                # 3 live state copies OOM at 25M
             for _ in range(reps):
                 s_in = jax.tree.map(jnp.copy, state)
                 jax.block_until_ready(s_in)
@@ -711,7 +821,7 @@ class MPMEngine:
                 o = f(s_in)
                 float(np.asarray(o.dt))
                 best = min(best, _time.perf_counter() - t0)
-            del o
+                del o
             out[name] = best / iters * 1e3
         out["overhead"] = out["substep"] - (
             out["grid_update"] + out["g2p2g"] + out["rebuild"])

@@ -80,7 +80,7 @@ def home_block(cfg: SimConfig, pos: jnp.ndarray) -> jnp.ndarray:
 # tile (bucket) building — the sort pipeline
 # --------------------------------------------------------------------------
 
-def sort_permute(cfg: SimConfig, model, num_tiles: int):
+def sort_permute(cfg: SimConfig, model, num_tiles: int, region_fn=None):
     """Full rebucket: group slots into block-aligned, oct-group-padded
     tiles and move the WHOLE particle state into the new layout in one
     ``lax.sort`` (reference: build_particle_cell_buckets + update_buckets,
@@ -95,6 +95,15 @@ def sort_permute(cfg: SimConfig, model, num_tiles: int):
     contiguous window slices located with one searchsorted over the
     monotone destination map.
 
+    ``region_fn``: optional bool predicate over flat block keys.  When
+    given, slots whose home block satisfies it sort FIRST (keys stay
+    ascending within each region) — the multi-chip engine uses this to
+    make halo-boundary tiles a static prefix so the transfer can run
+    boundary tiles, ship the halo payload, then run interior tiles
+    overlapped with the in-flight collective (the reference's halo-first /
+    interior-second g2p2g split, mgsp_benchmark.cuh:439-464).  The offset
+    is a multiple of 8 so oct grouping (key >> 3) survives the shift.
+
     Returns (permuted model, tile_keys i32[T], dropped i32[1]).
     """
     s_cap = model.pos.shape[1]
@@ -103,6 +112,17 @@ def sort_permute(cfg: SimConfig, model, num_tiles: int):
 
     key = flatten_key(cfg, home_block(cfg, model.pos))
     key = jnp.where(model.active, key, n3).astype(jnp.int32)
+    if region_fn is None:
+        sort_src = key
+        sentinel = n3
+    else:
+        off = n3 + 8                      # multiple of 8: (key+off)>>3 exact
+        sentinel = 2 * off
+        assert sentinel < (1 << 30), "domain too large for region packing"
+        interior = jnp.logical_not(region_fn(jnp.minimum(key, n3 - 1)))
+        sort_src = jnp.where(
+            key < n3, key + jnp.where(interior, off, 0), sentinel
+        ).astype(jnp.int32)
 
     # int payloads ride bitcast to f32 with a high exponent bit set (TPUs
     # flush f32 denormals even through copies/selects)
@@ -124,10 +144,10 @@ def sort_permute(cfg: SimConfig, model, num_tiles: int):
             widths.append((k, v.shape[0]))
     chans.append(enc(model.pid))
 
-    sorted_all = jax.lax.sort((key, *chans), num_keys=1, is_stable=True)
+    sorted_all = jax.lax.sort((sort_src, *chans), num_keys=1, is_stable=True)
     skey = sorted_all[0]
     schans = sorted_all[1:]
-    act_s = skey < n3
+    act_s = skey < sentinel
 
     # padded destination slot per sorted element: level 1 tile-aligns block
     # boundaries, level 2 group-aligns home-oct boundaries (see plan_tiles)

@@ -55,12 +55,15 @@ class HaloComm:
     """
 
     def __init__(self, cfg: SimConfig, axes, mesh_shape, margin: int,
-                 mig_cap: int, halo_capacity: Optional[int] = None):
+                 mig_cap: int, halo_capacity: Optional[int] = None,
+                 overlap: bool = True):
         self.cfg = cfg
         self.axes = tuple(axes)          # ((mesh_axis_name, spatial_dim), ...)
         self.mesh_shape = tuple(mesh_shape)
         self.margin = margin
         self.mig_cap = mig_cap
+        # boundary/interior transfer split (engine gates on defrag_every)
+        self.overlap = overlap
         self.slabs = []
         for n in self.mesh_shape:
             assert cfg.grid_size % n == 0, (cfg.grid_size, n)
@@ -114,6 +117,51 @@ class HaloComm:
         for name, _dim in self.axes:
             x = jax.lax.pmax(x, name)
         return x
+
+    # -- boundary/interior transfer split --------------------------------
+    # The reference runs g2p2g over halo blocks first, fires the peer
+    # copies, and hides them behind interior g2p2g
+    # (mgsp_benchmark.cuh:439-464).  Here the tile plan sorts boundary-oct
+    # tiles into a static prefix (sort_permute's region_fn), the transfer
+    # runs in two dispatches, and the payload ppermute is issued between
+    # them so XLA's async collectives overlap it with the interior dispatch.
+
+    def is_boundary_key(self, keys):
+        """bool[...] over flat BLOCK keys: could a tile homed at this block
+        scatter into any shipped halo window?  Conservative per home OCT
+        (drift-proof: the P2G arena is anchored at the home block, so the
+        scatter reach [b, b+1] blocks — [oct, oct+8] along z — is fixed
+        between rebuilds)."""
+        cfg = self.cfg
+        g = cfg.grid_size
+        m = self.margin
+        bound = jnp.zeros(keys.shape, bool)
+        for a, (_name, dim) in enumerate(self.axes):
+            if dim == 0:
+                c = keys // (g * g)
+                reach_lo, reach_hi = 0, 1          # scatter [c, c+1]
+            else:                                  # dim == 2: z-oct runs
+                c = (keys % g) & ~7
+                reach_lo, reach_hi = 0, 8          # scatter [c, c+8]
+            _, lo, hi = self._bounds(a)
+            # left window [lo, lo+m): writers c+reach_hi-1 >= lo is implied
+            # for resident tiles; drifted tiles (c < lo) are included too
+            bound = bound | (c < lo + m)
+            # right window [hi-m, hi): writers reach c+reach_hi >= hi-m
+            bound = bound | (c + reach_hi >= hi - m)
+        return bound
+
+    def boundary_tile_cap(self, num_tiles: int, multiple: int) -> int:
+        """Static prefix capacity for boundary tiles, same philosophy as
+        halo_capacity: geometric fraction x4 safety, loud overflow."""
+        frac = 0.0
+        for a, (_name, dim) in enumerate(self.axes):
+            reach = 1 if dim == 0 else 8
+            frac += min(1.0, (2.0 * self.margin + reach) / self.slabs[a])
+        cap = int(4.0 * min(frac, 1.0) * num_tiles)
+        cap = max(cap, 4 * multiple)
+        cap = -(-cap // multiple) * multiple
+        return min(cap, num_tiles)
 
     # -- packed halo exchange -------------------------------------------
     # The reference exchanges only *active* halo blocks: halo_tagging
@@ -345,6 +393,7 @@ class MultiChipEngine:
         tile_chunk: int = 32,
         particle_capacity_factor: float = 1.5,
         use_pallas=False,
+        overlap_halo: bool = True,
     ):
         if mesh_shape is not None:
             mesh_shape = tuple(int(n) for n in mesh_shape)
@@ -391,7 +440,8 @@ class MultiChipEngine:
                 "larger domain"
             )
         self.comm = HaloComm(cfg, axes, mesh_shape, halo_margin,
-                             migration_capacity, halo_capacity)
+                             migration_capacity, halo_capacity,
+                             overlap=overlap_halo)
         self._num_tiles: List[int] = []
         self._pcaps: List[int] = []
         self._substep_fn = None
@@ -443,12 +493,16 @@ class MultiChipEngine:
             act_stacked.append(jnp.asarray(act_sh))
 
         v0s = tuple(tuple(float(c) for c in v) for v in model_velocities)
+        comm = self.comm
+        # the transfer split needs boundary tiles in the static prefix from
+        # the FIRST substep, so the initial plan sorts with the same region
+        split = comm.overlap and cfg.defrag_every == 1
         init_fn = functools.partial(
             engine_mod.init_impl, cfg, self.materials, tuple(self._num_tiles),
             self.tile_chunk,
+            region_fn=comm.is_boundary_key if split else None,
         )
         ax = self._spec_axes
-        comm = self.comm
 
         def _init(p, a):
             st = init_fn(p, a, v0s)
@@ -628,6 +682,7 @@ class MultiChipEngine:
             tile_chunk=self.tile_chunk,
             particle_capacity_factor=self.capacity_factor,
             use_pallas=self.use_pallas,
+            overlap_halo=self.comm.overlap,
         )
         eng._num_tiles = list(self._num_tiles)
         eng._pcaps = list(self._pcaps)
