@@ -121,10 +121,12 @@ class SimConfig:
     # gather -> kernel -> scatter pipeline in macro chunks under lax.scan.
     # With the oct-window pipeline the per-macro temporaries are only
     # 8 KB/tile (round 2's 32x-padded arena relayouts — 15.6 GB at 25M —
-    # are gone), so the default admits ~0.5M particles per dispatch and
-    # exists only to bound temps on 100M-class models; the lax.scan
-    # restacking costs real bandwidth (measured ~1.5 ms at 1M, round 3).
-    pallas_macro_tiles: int = 65536
+    # are gone); the lax.scan restacking costs real bandwidth (measured
+    # ~1.5 ms at 1M round 3; 12 ms at 25M round 4 — 81k tiles fell off the
+    # single-dispatch path at the old 64Ki default).  131072 tiles ≈ 2.1 GB
+    # of window temporaries per dispatch — the bound only matters for
+    # 100M-class models, which override it.
+    pallas_macro_tiles: int = 131072
 
     @cached_property
     def precision(self):
