@@ -66,6 +66,15 @@ class SimConfig:
     # Off by default: bit-determinism is worth more than the few percent.
     g2p_arena_dtype: str = "float32"
 
+    # --- G2P window delivery (Pallas backend only) ---
+    # True: the kernel double-buffer DMAs its 4x2 window rows straight from
+    # the HBM pool (prefetching one program ahead), eliminating the XLA
+    # gather + arena temp write + kernel re-read, and skipping fetches for
+    # dead programs outright.  False: XLA row gather into an arena temp —
+    # the only path that can quantize (g2p_arena_dtype="bfloat16" implies
+    # the gather path; DMA cannot convert dtypes).
+    g2p_window_dma: bool = True
+
     # --- lazy rebucketing ---
     # Rebuild buckets/partition every K substeps instead of every substep
     # (the reference rebuilds every step).  K>1 amortizes the sort+permute

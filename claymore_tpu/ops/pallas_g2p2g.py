@@ -112,7 +112,8 @@ def group_window_indices(cfg: SimConfig, table: jnp.ndarray,
 
 
 def _make_kernel(cfg: SimConfig, material: Material, tile: int,
-                 field_widths: Tuple[Tuple[str, int], ...], chunk: int):
+                 field_widths: Tuple[Tuple[str, int], ...], chunk: int,
+                 window_dma: bool = False):
     d_inv = cfg.d_inv
     mass = material.mass
     g = cfg.grid_size
@@ -121,24 +122,30 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
     gt = cfg.group_tiles                                  # 8
     gpp = chunk // gt                                     # groups / program
 
-    def kernel(
-        # scalar prefetch (SMEM)
-        key_ref,       # i32[T] home-block flat key (n3 = dead tile)
-        dt_ref,        # f32[1]
-        ndt_ref,       # f32[1]
-        # streamed blocks
-        arena_ref,     # f32|bf16[gpp, 4, 2, 16, 128] grid (m, v) windows
-        pos_ref,       # f32[3, chunk, tile]
-        act_ref,       # i32[1, chunk, tile]
-        *rest,
-    ):
-        t = pl.program_id(0)
-        nf = len(field_widths)
+    def kernel(*refs):
+        if window_dma:
+            # the (m, v) pool stays in HBM; each program's 4x2 window rows
+            # arrive by double-buffered async copies issued one program
+            # ahead (prefetch t+1 while computing t), so the gather rides
+            # the DMA engines behind the transfer math instead of paying
+            # an XLA gather + arena temp write + kernel re-read (measured
+            # 665 GB/s DMA vs 530 GB/s gather, scripts/prof_dma.py) —
+            # and dead programs skip their window fetches entirely.
+            (key_ref, widx_ref, dt_ref, ndt_ref, _fd_ref, pool_ref,
+             pos_ref, act_ref, *rest) = refs
+            nf = len(field_widths)
+            arena_scr, sems = rest[-2:]
+            rest = rest[:-2]
+        else:
+            (key_ref, dt_ref, ndt_ref, _fd_ref, arena_ref,
+             pos_ref, act_ref, *rest) = refs
+            nf = len(field_widths)
         field_refs = rest[:nf]
         out_pos_ref, out_win_ref = rest[nf], rest[nf + 1]
         out_field_refs = rest[nf + 2 : nf + 2 + nf]
         out_act_ref = rest[nf + 2 + nf]
 
+        t = pl.program_id(0)
         dtype = jnp.float32
         dt = dt_ref[0]
         next_dt = ndt_ref[0]
@@ -146,6 +153,58 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         alive = keys[0] < n3
         for k in keys[1:]:
             alive = alive | (k < n3)
+
+        if window_dma:
+            n_prog = pl.num_programs(0)
+            tcap = n_prog * chunk
+
+            def _alive_of(p):
+                a = None
+                for i in range(chunk):
+                    k = key_ref[jnp.minimum(p * chunk + i, tcap - 1)]
+                    a = (k < n3) if a is None else a | (k < n3)
+                return a
+
+            def _window_copy(slot, prog, gi, col, w):
+                idx = widx_ref[(prog * gpp + gi) * 8 + col * 2 + w]
+                return pltpu.make_async_copy(
+                    pool_ref.at[idx],
+                    arena_scr.at[slot, gi, col, w],
+                    sems.at[slot, gi, col, w],
+                )
+
+            def _start_windows(slot, prog):
+                for gi in range(gpp):
+                    for col in range(4):
+                        for w in range(2):
+                            _window_copy(slot, prog, gi, col, w).start()
+
+            slot = jax.lax.rem(t, 2)
+            nxt = jnp.minimum(t + 1, n_prog - 1)
+
+            @pl.when((t == 0) & alive)
+            def _():                        # warm-up: own windows
+                _start_windows(0, 0)
+
+            @pl.when((t + 1 < n_prog) & _alive_of(nxt))
+            def _():                        # prefetch next program's windows
+                _start_windows(jax.lax.rem(t + 1, 2), nxt)
+
+        if window_dma:
+            def read_window(gi, col, w):
+                return arena_scr[slot, gi, col, w]
+
+            def wait_windows():
+                for gi in range(gpp):
+                    for col in range(4):
+                        for w in range(2):
+                            _window_copy(slot, 0, gi, col, w).wait()
+        else:
+            def read_window(gi, col, w):
+                return arena_ref[gi, col, w]
+
+            def wait_windows():
+                pass
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
         # arena lane coordinate indices for the (by, bz, cy, cz) lane order
@@ -188,8 +247,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     col = dx * 2 + dy
                     # bf16 arenas widen at the load: storage quantization
                     # only (Mosaic's dynamic rotate is 32-bit only anyway)
-                    a0 = arena_ref[gi, col, 0].astype(dtype)
-                    a1 = arena_ref[gi, col, 1].astype(dtype)
+                    a0 = read_window(gi, col, 0).astype(dtype)
+                    a1 = read_window(gi, col, 1).astype(dtype)
                     r0 = pltpu.roll(a0, -shift, 1)
                     r1 = pltpu.roll(a1, -shift, 1)
                     merged = jnp.where(lane < 128 - shift, r0, r1)
@@ -343,6 +402,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     out_win_ref[gi, col, 1] += jnp.where(m1, r, 0.0)
 
         def _compute():
+            wait_windows()
             out_win_ref[:] = jnp.zeros_like(out_win_ref)
             per_tile = [_g2p_tile(i) for i in range(chunk)]
 
@@ -435,7 +495,11 @@ def g2p2g_pallas(
     field_widths = tuple(
         (k, v.shape[0] if v.ndim > 1 else 1) for k, v in model.fields.items()
     )
-    kernel = _make_kernel(cfg, material, tile, field_widths, chunk)
+    # bf16 arenas quantize at the XLA gather (DMA cannot convert), so the
+    # opt-in keeps the gather path; everything else rides the in-kernel DMA
+    window_dma = cfg.g2p_window_dma and cfg.g2p_arena_dtype != "bfloat16"
+    kernel = _make_kernel(cfg, material, tile, field_widths, chunk,
+                          window_dma=window_dma)
 
     # Large models run the gather -> kernel -> scatter pipeline over macro
     # chunks of tiles under lax.scan, bounding the [G, 4, 2, 16, 128]
@@ -454,21 +518,44 @@ def g2p2g_pallas(
         keys_m, pos_m, act_m, fields_m = inp
         widx = group_window_indices(cfg, table, keys_m)    # [mg, 4, 2]
         mg = mt // gt
-        arenas_in = pool_v[widx]                           # [mg, 4, 2, 16, 128]
-        if cfg.g2p_arena_dtype == "bfloat16":
-            # fuses into the gather: the arena temp (the largest per-step
-            # stream at flagship scale) is written and kernel-read at half
-            # width; the f32 pool itself is untouched
-            arenas_in = arenas_in.astype(jnp.bfloat16)
+        n_prog = mt // chunk
 
-        smap = lambda t, *pref: (0, t, 0)
-        in_specs = [
-            pl.BlockSpec((gpp, 4, 2, 16, 128), lambda t, *pref: (t, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        # Dead-tail stream clamp: group padding intersperses invalid tiles
+        # INSIDE the live range (groups pad to 8 per oct), but beyond the
+        # LAST live tile everything is dead capacity, so every program past
+        # that tile's chunk maps its particle blocks to ONE common dead
+        # chunk — Mosaic skips refetch/writeback while consecutive block
+        # indices are equal, and never-written output blocks keep their
+        # (aliased) input values, which is exactly the dead passthrough.
+        # At 25M with 1.25x tile slack this removes ~20% of the particle
+        # stream traffic per substep.
+        last_live = jnp.max(jnp.where(
+            keys_m < n3, jnp.arange(mt, dtype=jnp.int32), -1))
+        fd = jnp.minimum((last_live + chunk) // chunk,
+                         jnp.int32(max(n_prog - 1, 0))).reshape(1)
+
+        smap = lambda t, *pref: (0, jnp.minimum(t, pref[-1][0]), 0)
+        if window_dma:
+            # pool stays in HBM; the kernel DMAs its window rows directly
+            in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+            inputs = [pool_v]
+        else:
+            arenas_in = pool_v[widx]                       # [mg, 4, 2, 16, 128]
+            if cfg.g2p_arena_dtype == "bfloat16":
+                # fuses into the gather: the arena temp is written and
+                # kernel-read at half width; the f32 pool is untouched
+                arenas_in = arenas_in.astype(jnp.bfloat16)
+            in_specs = [
+                pl.BlockSpec((gpp, 4, 2, 16, 128),
+                             lambda t, *pref: (t, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            inputs = [arenas_in]
+        in_specs += [
             pl.BlockSpec((3, chunk, tile), smap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM),
         ]
-        inputs = [arenas_in, pos_m, act_m]
+        inputs += [pos_m, act_m]
         for (k, w) in field_widths:
             in_specs.append(
                 pl.BlockSpec((w, chunk, tile), smap, memory_space=pltpu.VMEM)
@@ -494,31 +581,39 @@ def g2p2g_pallas(
             pl.BlockSpec((1, chunk, tile), smap, memory_space=pltpu.VMEM)
         )
 
+        nsp = 5 if window_dma else 4
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=nsp,
             grid=(mt // chunk,),
             in_specs=in_specs,
             out_specs=out_specs,
+            scratch_shapes=(
+                [pltpu.VMEM((2, gpp, 4, 2, 16, 128), jnp.float32),
+                 pltpu.SemaphoreType.DMA((2, gpp, 4, 2))]
+                if window_dma else []
+            ),
         )
         # particle streams update in place (identical in/out index maps:
         # block t is consumed before it is overwritten); without aliasing
         # XLA keeps inputs live across the call and doubles stream traffic
         nalias = len(field_widths)
-        aliases = {4: 0, 5: 2 + nalias}                   # pos, active
+        pos_op = nsp + 1                                  # pos operand index
+        aliases = {pos_op: 0, pos_op + 1: 2 + nalias}     # pos, active
         for i in range(nalias):
-            aliases[6 + i] = 2 + i
+            aliases[pos_op + 2 + i] = 2 + i
+        scalars = [keys_m]
+        if window_dma:
+            scalars.append(widx.reshape(-1))
+        scalars += [jnp.full((1,), 0.0, jnp.float32) + dt,
+                    jnp.full((1,), 0.0, jnp.float32) + next_dt,
+                    fd]                     # pref[-1]: dead-tail clamp chunk
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shapes,
             input_output_aliases=aliases,
             interpret=interpret,
-        )(
-            keys_m,
-            jnp.full((1,), 0.0, jnp.float32) + dt,
-            jnp.full((1,), 0.0, jnp.float32) + next_dt,
-            *inputs,
-        )
+        )(*scalars, *inputs)
 
         # window scatter-add of whole native rows (null row absorbs spill)
         acc_pool = acc_pool.at[widx.reshape(-1)].add(

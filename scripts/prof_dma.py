@@ -160,6 +160,32 @@ def xla_scatter_bench(O, G, D, R, dup=True):
     return ms, payload / (ms * 1e-3) / 1e9
 
 
+def xla_scatter_sorted_bench(O, G, S=8, dups=0.1):
+    """The per-(col, w) scatter decomposition: S separate scatter-adds,
+    each with SORTED near-unique row indices (groups are key-sorted, so
+    widx[:, col, w] is non-decreasing; dups only from multi-group octs)."""
+    pool = jnp.zeros((O, 16, 128), jnp.float32)
+    rng = np.random.default_rng(0)
+    base = np.sort(rng.choice(O, size=G, replace=False))
+    dup_at = rng.random(G) < dups
+    base[dup_at] = np.minimum(base[dup_at] + 0, O - 1)     # keep sorted
+    idxs = [jnp.asarray(np.sort(base), jnp.int32) for _ in range(S)]
+    upd = jnp.ones((G, 16, 128), jnp.float32)
+
+    def run(pool, upd):
+        def body(i, p):
+            for s in range(S):
+                p = p.at[idxs[s]].add(upd, indices_are_sorted=True,
+                                      unique_indices=False)
+            return p
+        return jax.lax.fori_loop(0, 10, body, pool)
+
+    run_j = jax.jit(run)
+    ms = timeit(run_j, pool, upd)
+    payload = S * G * 16 * 128 * 4
+    return ms, payload / (ms * 1e-3) / 1e9
+
+
 def rmw_bench(O, G, D, R):
     """Per-program read->add->write(wait) cycle into HBM (the scatter RMW)."""
     pool = jnp.zeros((O, 16, 128), jnp.float32)
@@ -198,8 +224,9 @@ def rmw_bench(O, G, D, R):
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((1, 128), lambda g, *p: (g, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                       pl.BlockSpec((1, 128), lambda g, *p: (g, 0),
+                                    memory_space=pltpu.VMEM)],
             scratch_shapes=[
                 pltpu.VMEM((D, R, 16, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((D,)),
@@ -243,11 +270,16 @@ if __name__ == "__main__":
         print(f"  G={G} D={D} R={R}: {ms:7.3f} ms  {bw:7.1f} GB/s  "
               f"{per_dma_us:.3f} us/DMA")
     print("== in-kernel DMA gather (double buffered) ==")
-    for (G, D, R) in [(8192, 4, 9), (8192, 8, 1), (8192, 4, 3)]:
+    for (G, D, R) in [(8192, 4, 9), (8192, 8, 1), (8192, 4, 3),
+                      (5120, 16, 1)]:   # g2p2g shape: chunk=16 -> 2 groups x 8 rows
         ms, bw = dma_gather_bench(O, G, D, R, double_buffer=True)
         per_dma_us = ms * 1e3 / (G * D)
         print(f"  G={G} D={D} R={R}: {ms:7.3f} ms  {bw:7.1f} GB/s  "
               f"{per_dma_us:.3f} us/DMA")
+    print("== XLA scatter-add, sorted near-unique per-slot indices ==")
+    for (G, S) in [(10240, 8), (10240, 1)]:
+        ms, bw = xla_scatter_sorted_bench(O, G, S)
+        print(f"  G={G} S={S}: {ms:7.3f} ms  {bw:7.1f} GB/s")
     print("== RMW read+add+write ==")
     for (G, D, R) in [(4096, 4, 9), (4096, 4, 3)]:
         ms, bw = rmw_bench(O, G, D, R)

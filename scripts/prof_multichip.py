@@ -115,6 +115,35 @@ def main():
     engm.check_health(sm, strict=False)
     results["mesh1_halo_bytes_per_substep"] = bytes_per_substep(engm.comm)
 
+    # --- config-5 single-shard unit cost (VERDICT r3 item 3) -----------
+    # One 4x2-mesh shard of the 100M scene: domain_bits=10 geometry with
+    # ~12.5M particles on one chip — the weak-scaling unit the 8-chip run
+    # would replicate (reference: near-perfect 4-GPU scaling,
+    # docs/benchmark.rst:40-55).
+    if "--config5shard" in sys.argv:
+        import dataclasses
+        from claymore_tpu.core.engine import exact_tiles
+        from claymore_tpu.io.sampler import sample_sphere
+
+        cfgs = cmt.SimConfig(domain_bits=10, max_active_blocks=40960,
+                             default_dt=5e-5, rebucket_auto=True,
+                             pallas_chunk=16, particle_tile=512)
+        # sphere slice sized to one shard's share: 100M/8 = 12.5M
+        post = sample_sphere(cfgs.dx, (0.5, 0.55, 0.5), 0.1405, cfgs.ppc)
+        cfgs = dataclasses.replace(
+            cfgs, max_tiles=exact_tiles(cfgs, [post], slack=1.25))
+        mats = cmt.FixedCorotated(volume=cfgs.default_volume(), e=5e3, nu=0.4)
+        engs = cmt.MPMEngine(cfgs, [mats], tile_chunk=64, use_pallas=on_tpu)
+        ss = engs.init_state([post], [(0.0, -0.5, 0.0)])
+        ss = engs.run_steps(ss, 2, 1e9)
+        float(np.asarray(ss.t))
+        dts, ss = timed_steps(engs.run_steps, ss, 20)
+        results["config5_shard_particles"] = int(post.shape[0])
+        results["config5_shard_ms_per_step"] = dts / 20 * 1e3
+        d = engs.diagnostics(ss)
+        results["config5_shard_dropped"] = int(
+            d.get("model0_dropped_tiles", 0))
+
     # --- BASELINE config-5 exchange accounting (4x2 mesh, 1024^3) ------
     # capacities from scenes/sphere_100m_8dev.json
     cfg5 = cmt.SimConfig(domain_bits=10, max_active_blocks=65536,
