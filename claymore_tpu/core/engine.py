@@ -421,6 +421,63 @@ def substep_impl(
     )
 
 
+def _entry_points(cfg, materials, colliders, tile_chunk, use_pallas):
+    """(substep, run_steps, run_frame) jitted once per distinct static
+    parameter set.  Two MPMEngine instances with equal (cfg, materials,
+    colliders, tile_chunk, use_pallas) — common in equivalence tests and
+    after grow-and-retrace rebuilds with unchanged capacities — share one
+    jit cache instead of recompiling identical programs.  Unhashable
+    statics (an SDF-grid collider holding arrays) skip the cache."""
+    try:
+        return _entry_points_cached(cfg, materials, colliders, tile_chunk,
+                                    use_pallas)
+    except TypeError:
+        return _entry_points_build(cfg, materials, colliders, tile_chunk,
+                                   use_pallas)
+
+
+@_functools.lru_cache(maxsize=None)
+def _entry_points_cached(cfg, materials, colliders, tile_chunk, use_pallas):
+    return _entry_points_build(cfg, materials, colliders, tile_chunk,
+                               use_pallas)
+
+
+def _entry_points_build(cfg, materials, colliders, tile_chunk, use_pallas):
+
+    def _sub(state: SimState, frame_end: jnp.ndarray) -> SimState:
+        return substep_impl(cfg, materials, colliders, tile_chunk,
+                            state, frame_end, comm=None,
+                            use_pallas=use_pallas)
+
+    def _steps(state: SimState, n: int, frame_end) -> SimState:
+        return jax.lax.fori_loop(0, n, lambda i, s: _sub(s, frame_end),
+                                 state)
+
+    def _frame(state: SimState, frame_end) -> SimState:
+        eps = 1e-9
+        step0 = state.step
+
+        def cond(s):
+            return (s.t < frame_end - eps) & (
+                s.step - step0 < cfg.max_substeps_per_frame
+            )
+
+        state = state._replace(
+            dt=jnp.minimum(state.dt, jnp.maximum(frame_end - state.t, 0.0))
+        )
+        return jax.lax.while_loop(cond, lambda s: _sub(s, frame_end), state)
+
+    return (jax.jit(_sub), jax.jit(_steps, static_argnums=1),
+            jax.jit(_frame))
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_init(cfg, materials, num_tiles, tile_chunk):
+    """Shared jitted init_impl (same dedup rationale as _entry_points)."""
+    return jax.jit(_functools.partial(
+        init_impl, cfg, materials, num_tiles, tile_chunk))
+
+
 class MPMEngine:
     """One compiled engine = (config, materials, colliders).
 
@@ -467,9 +524,13 @@ class MPMEngine:
                 "use_pallas requires rebucket_every <= 2 (span-2 arenas)"
             )
         self._num_tiles: List[int] = []
-        self.substep = jax.jit(self._substep)
-        self.run_frame = jax.jit(self._run_frame)
-        self.run_steps = jax.jit(self._run_steps, static_argnums=1)
+        # jitted entry points are SHARED across engine instances with equal
+        # static parameters (everything here is hashable frozen dataclasses):
+        # equivalence tests / engine rebuilds otherwise recompile identical
+        # programs, and on a 1-core CI box each substep compile is ~8 s
+        self.substep, self.run_steps, self.run_frame = _entry_points(
+            cfg, self.materials, self.colliders, tile_chunk, use_pallas
+        )
 
     # ------------------------------------------------------------------
     # setup
@@ -517,12 +578,8 @@ class MPMEngine:
         # jitted: run eagerly at 25M+ slots, the unfused permutation /
         # rasterize intermediates (GBs each) all stay live at once and OOM
         # the chip; under jit XLA schedules and frees them
-        import functools
-
-        init_fn = jax.jit(functools.partial(
-            init_impl, self.cfg, self.materials, tuple(self._num_tiles),
-            self.tile_chunk,
-        ))
+        init_fn = _jit_init(self.cfg, self.materials,
+                            tuple(self._num_tiles), self.tile_chunk)
         return init_fn(
             tuple(positions), tuple(actives),
             tuple(tuple(float(c) for c in v) for v in model_velocities),
@@ -538,37 +595,10 @@ class MPMEngine:
             state, frame_end, comm=None, use_pallas=self.use_pallas,
         )
 
-    def _run_steps(self, state: SimState, n: int, frame_end: jnp.ndarray) -> SimState:
-        """n substeps in ONE device program — avoids per-step host dispatch
-        (the axon tunnel costs ~40 ms/dispatch; the reference pays a similar
-        per-substep host sync for its max-vel readback)."""
-        return jax.lax.fori_loop(
-            0, n, lambda i, s: self._substep(s, frame_end), state
-        )
-
-    def _run_frame(self, state: SimState, frame_end: jnp.ndarray) -> SimState:
-        """All substeps of one frame on device (no host round trips; the
-        reference syncs max-vel to host every substep, gmpm_simulator.cuh:344).
-
-        The loop exits when t reaches frame_end, when a divergence poisons
-        t to NaN (compute_dt maps non-finite max_vel to dt=NaN), or at the
-        config's substep cap — never hangs on device."""
-        eps = 1e-9
-        step0 = state.step
-
-        def cond(s):
-            return (s.t < frame_end - eps) & (
-                s.step - step0 < self.cfg.max_substeps_per_frame
-            )
-
-        def body(s):
-            return self._substep(s, frame_end)
-
-        # clamp the first dt against the frame boundary as well
-        state = state._replace(
-            dt=jnp.minimum(state.dt, jnp.maximum(frame_end - state.t, 0.0))
-        )
-        return jax.lax.while_loop(cond, body, state)
+    # run_steps (n substeps, ONE device program — the axon tunnel costs
+    # ~40 ms/dispatch) and run_frame (on-device while_loop to frame_end,
+    # with NaN-dt poisoning + substep-cap bailout so it never hangs) are
+    # the shared jitted entry points from _entry_points above.
 
     def check_health(self, state: SimState, strict: bool = True) -> None:
         """Raise (or warn) on divergence and silent-loss counters — the

@@ -43,6 +43,24 @@ from ..core import partition as part
 from ..core.types import ParticleModel, SimState
 from ..models.materials import Material
 
+# Jitted sharded programs (and their HaloComm) shared across engine
+# instances with equal static parameters — the same dedup as
+# engine._entry_points: CI equivalence tests build several identical
+# MultiChipEngines and each sharded substep compile is ~10-20 s on a
+# 1-core box.  Keyed on hashables only (frozen dataclasses, Mesh, ints).
+_SHARED: dict = {}
+
+
+def _shared(key, build):
+    try:
+        hash(key)
+    except TypeError:      # e.g. an SDF-grid collider holding arrays
+        return build()
+    fn = _SHARED.get(key)
+    if fn is None:
+        fn = _SHARED[key] = build()
+    return fn
+
 
 class HaloComm:
     """Per-shard communication hooks used inside shard_map.
@@ -439,9 +457,16 @@ class MultiChipEngine:
                 "slab thinner than the halo margin; use fewer devices or a "
                 "larger domain"
             )
-        self.comm = HaloComm(cfg, axes, mesh_shape, halo_margin,
+        comm_key = (cfg, axes, tuple(mesh_shape), halo_margin,
+                    migration_capacity, halo_capacity, overlap_halo)
+        self.comm = _shared(
+            ("comm",) + comm_key,
+            lambda: HaloComm(cfg, axes, mesh_shape, halo_margin,
                              migration_capacity, halo_capacity,
-                             overlap=overlap_halo)
+                             overlap=overlap_halo))
+        # program-identity key: everything substep_impl closes over
+        self._key = (cfg, self.materials, self.colliders, tile_chunk,
+                     use_pallas, self.mesh) + comm_key
         self._num_tiles: List[int] = []
         self._pcaps: List[int] = []
         self._substep_fn = None
@@ -497,30 +522,38 @@ class MultiChipEngine:
         # the transfer split needs boundary tiles in the static prefix from
         # the FIRST substep, so the initial plan sorts with the same region
         split = comm.overlap and cfg.defrag_every == 1
-        init_fn = functools.partial(
-            engine_mod.init_impl, cfg, self.materials, tuple(self._num_tiles),
-            self.tile_chunk,
-            region_fn=comm.is_boundary_key if split else None,
-        )
-        ax = self._spec_axes
 
-        def _init(p, a):
-            st = init_fn(p, a, v0s)
-            # initial halo reduction so every active copy holds the global sum
-            # (reference initial_setup collect/reduce, mgsp_benchmark.cuh:653)
-            slabs = comm.exchange_halo(st.grid, st.partition)
-            return st._replace(grid=comm.add_halo(st.grid, st.partition, slabs))
-
-        sharded_init = jax.jit(
-            jax.shard_map(
-                _init,
-                mesh=self.mesh,
-                in_specs=(tuple(P(None, ax) for _ in pos_stacked),
-                          tuple(P(ax) for _ in act_stacked)),
-                out_specs=self._out_state_spec(),
-                check_vma=False,
+        def _build():
+            init_fn = functools.partial(
+                engine_mod.init_impl, cfg, self.materials,
+                tuple(self._num_tiles), self.tile_chunk,
+                region_fn=comm.is_boundary_key if split else None,
             )
-        )
+            ax = self._spec_axes
+
+            def _init(p, a):
+                st = init_fn(p, a, v0s)
+                # initial halo reduction so every active copy holds the
+                # global sum (reference initial_setup collect/reduce,
+                # mgsp_benchmark.cuh:653)
+                slabs = comm.exchange_halo(st.grid, st.partition)
+                return st._replace(
+                    grid=comm.add_halo(st.grid, st.partition, slabs))
+
+            return jax.jit(
+                jax.shard_map(
+                    _init,
+                    mesh=self.mesh,
+                    in_specs=(tuple(P(None, ax) for _ in pos_stacked),
+                              tuple(P(ax) for _ in act_stacked)),
+                    out_specs=self._out_state_spec(),
+                    check_vma=False,
+                )
+            )
+
+        sharded_init = _shared(
+            ("init",) + self._key + (tuple(self._num_tiles), v0s, split),
+            _build)
         return sharded_init(tuple(pos_stacked), tuple(act_stacked))
 
     def _out_state_spec(self):
@@ -565,28 +598,32 @@ class MultiChipEngine:
     @property
     def substep(self):
         if self._substep_fn is None:
-            self._substep_fn = self._build_substep()
+            self._substep_fn = _shared(("substep",) + self._key,
+                                       self._build_substep)
         return self._substep_fn
+
+    def _build_run_steps(self):
+        spec = self._out_state_spec()
+        fn = functools.partial(
+            engine_mod.substep_impl, self.cfg, self.materials,
+            self.colliders, self.tile_chunk, comm=self.comm,
+            use_pallas=self.use_pallas,
+        )
+
+        def loop(st, fe, n_):
+            return jax.lax.fori_loop(0, n_, lambda i, s: fn(s, fe), st)
+
+        return jax.jit(
+            jax.shard_map(loop, mesh=self.mesh,
+                          in_specs=(spec, P(), P()), out_specs=spec,
+                          check_vma=False),
+        )
 
     def run_steps(self, state: SimState, n: int, frame_end) -> SimState:
         """n substeps in one sharded device program (single dispatch)."""
         if getattr(self, "_run_steps_fn", None) is None:
-            spec = self._out_state_spec()
-            fn = functools.partial(
-                engine_mod.substep_impl, self.cfg, self.materials,
-                self.colliders, self.tile_chunk, comm=self.comm,
-                use_pallas=self.use_pallas,
-            )
-
-            def loop(st, fe, n_):
-                return jax.lax.fori_loop(0, n_, lambda i, s: fn(s, fe), st)
-
-            self._run_steps_fn = jax.jit(
-                jax.shard_map(loop, mesh=self.mesh,
-                              in_specs=(spec, P(), P()), out_specs=spec,
-                              check_vma=False),
-                static_argnums=(),
-            )
+            self._run_steps_fn = _shared(("run_steps",) + self._key,
+                                         self._build_run_steps)
         import jax.numpy as _jnp
         return self._run_steps_fn(state, _jnp.float32(frame_end),
                                   _jnp.int32(n))
@@ -598,31 +635,35 @@ class MultiChipEngine:
         the step itself; the reference pays a per-substep host sync too,
         mgsp_benchmark.cuh:410-416)."""
         if getattr(self, "_run_frame_fn", None) is None:
-            spec = self._out_state_spec()
-            fn = functools.partial(
-                engine_mod.substep_impl, self.cfg, self.materials,
-                self.colliders, self.tile_chunk, comm=self.comm,
-                use_pallas=self.use_pallas,
-            )
-            cap = self.cfg.max_substeps_per_frame
-            eps = 1e-9
-
-            def frame(st, fe):
-                step0 = st.step
-
-                def cond(s):
-                    return (s.t < fe - eps) & (s.step - step0 < cap)
-
-                st = st._replace(
-                    dt=jnp.minimum(st.dt, jnp.maximum(fe - st.t, 0.0)))
-                return jax.lax.while_loop(cond, lambda s: fn(s, fe), st)
-
-            self._run_frame_fn = jax.jit(
-                jax.shard_map(frame, mesh=self.mesh,
-                              in_specs=(spec, P()), out_specs=spec,
-                              check_vma=False)
-            )
+            self._run_frame_fn = _shared(("run_frame",) + self._key,
+                                         self._build_run_frame)
         return self._run_frame_fn(state, jnp.float32(frame_end))
+
+    def _build_run_frame(self):
+        spec = self._out_state_spec()
+        fn = functools.partial(
+            engine_mod.substep_impl, self.cfg, self.materials,
+            self.colliders, self.tile_chunk, comm=self.comm,
+            use_pallas=self.use_pallas,
+        )
+        cap = self.cfg.max_substeps_per_frame
+        eps = 1e-9
+
+        def frame(st, fe):
+            step0 = st.step
+
+            def cond(s):
+                return (s.t < fe - eps) & (s.step - step0 < cap)
+
+            st = st._replace(
+                dt=jnp.minimum(st.dt, jnp.maximum(fe - st.t, 0.0)))
+            return jax.lax.while_loop(cond, lambda s: fn(s, fe), st)
+
+        return jax.jit(
+            jax.shard_map(frame, mesh=self.mesh,
+                          in_specs=(spec, P()), out_specs=spec,
+                          check_vma=False)
+        )
 
     def run(self, state: SimState, frames: int, on_frame=None,
             check_health: bool = True) -> SimState:
