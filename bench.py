@@ -72,6 +72,25 @@ def build(scene: str, quick: bool):
         mats = [cmt.FixedCorotated(volume=vol, e=5e3, nu=0.4)]
         parts = [sample_sphere(cfg.dx, (0.4, 0.6, 0.4), span / 2 * 1.24, cfg.ppc)]
         v0s = [(0.0, -0.5, 0.0)]
+    elif scene == "dambreak12m":
+        # VERDICT r3 item 8: high-churn flagship — a 12M-particle water
+        # column collapse.  Unlike the settling sphere (which flatters the
+        # amortized drift-triggered rebucket: low sustained velocities,
+        # rebuilds every ~40-80 substeps), the collapsing column keeps a
+        # large particle fraction at the CFL bound so rebuilds fire every
+        # few substeps and the sort chain's true cost is inside the number.
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, max_active_blocks=65536)
+        mats = [cmt.JFluid(volume=vol)]
+        parts = [sample_uniform_box_world(
+            cfg.dx, [0.1, 0.1, 0.1], [0.4, 0.7, 0.6], cfg.ppc)]
+        # launched, not at rest: ~0.08 cells/substep of drift from step 0
+        # makes the drift-triggered rebuild fire every ~5-10 substeps inside
+        # the measured window (the sphere rebuilds every ~40-80)
+        v0s = [(2.0, -2.0, 0.0)]
+        import dataclasses as _dc2
+        cfg = _dc2.replace(cfg, max_tiles=_tight_tiles(cfg, parts, slack=1.5))
+        return cfg, mats, parts, v0s, colliders
     elif scene in ("dambreak", "dambreak_hs"):
         # 4.3M-particle fluid spreads over far more blocks than the solids
         # (bench JSON block_overflow caught 8192 being short)

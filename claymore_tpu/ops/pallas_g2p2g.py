@@ -111,6 +111,18 @@ def group_window_indices(cfg: SimConfig, table: jnp.ndarray,
     return jnp.stack(cols, axis=1).astype(jnp.int32)     # [G, 4, 2]
 
 
+def _ablate() -> frozenset:
+    """Timing-only kernel ablations (CLAYMORE_ABLATE=piece,piece,...).
+    Each named piece is replaced by zeros so Mosaic DCEs it AND its
+    exclusive producers — a coarse in-kernel compute map for the
+    profilers (scripts/prof_kernel_ablate.py).  Physics is WRONG under
+    any ablation; never set outside profiling."""
+    import os
+
+    return frozenset(
+        p for p in os.environ.get("CLAYMORE_ABLATE", "").split(",") if p)
+
+
 def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                  field_widths: Tuple[Tuple[str, int], ...], chunk: int,
                  window_dma: bool = False):
@@ -121,6 +133,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
     cells = cfg.arena_cells                               # 8
     gt = cfg.group_tiles                                  # 8
     gpp = chunk // gt                                     # groups / program
+    ablate = _ablate()
 
     def kernel(*refs):
         if window_dma:
@@ -233,8 +246,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     cfg, pos[ax][None, :],
                     origin[ax].astype(dtype)[None, :], li[ax][None, :], dtype,
                 )
-                ws.append(w)
-                ms.append(m)
+                ws.append(jnp.zeros_like(w) if "g2pw" in ablate else w)
+                ms.append(jnp.zeros_like(m) if "g2pw" in ablate else m)
             (wx, wy, wz), (mx, my, mz) = ws, ms           # [8, tile]
 
             # --- assemble the [24, 64] arena: rows (bx, c, cx), lanes
@@ -255,6 +268,9 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     row_strips.append(merged[4:16, :32])  # velocity rows
                 strips.append(jnp.concatenate(row_strips, axis=1))
             vflat = jnp.concatenate(strips, axis=0)       # [24, 64]
+            if "arena" in ablate:
+                vflat = jnp.zeros((24, 64), dtype)
+
 
             # --- G2P: contract (y, z) jointly on the MXU, x on the VPU ---
             # weight rows in the block-factored (by, bz, cy, cz) lane order:
@@ -280,6 +296,9 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             lz = (lzi + origin[2]).astype(dtype) * cfg.dx
             a3 = jnp.concatenate([vflat, vflat * ly, vflat * lz], axis=0)
             gcat = _dotp(cfg, a3, wyz)                    # [72, tile]
+            if "g2pdot" in ablate:
+                gcat = jnp.zeros((72, tile), dtype)
+
             gres = gcat.reshape(3, 2, 3, 4, tile)
             g0 = gres[0]                                  # plain w*w
             wx_b = wx.reshape(2, 1, 4, tile)
@@ -321,8 +340,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     cfg, new_pos[ax][None, :],
                     origin[ax].astype(dtype)[None, :], li2[ax][None, :], dtype,
                 )
-                ws2.append(w)
-                ms2.append(m)
+                ws2.append(jnp.zeros_like(w) if "p2gw" in ablate else w)
+                ms2.append(jnp.zeros_like(m) if "p2gw" in ablate else m)
             (wx2, wy2, wz2), (mx2, my2, mz2) = ws2, ms2
 
             # --- one PURE-W matmul (K = tile, M = 128 fully used) via the
@@ -366,6 +385,9 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
 
             f = yz2(wy2, wz2)                             # [64, tile]
             a16 = _dotp(cfg, e, f.T)                      # [128, 64]
+            if "p2gdot" in ablate:
+                a16 = jnp.zeros((128, 64), dtype)
+
 
             # combine channels: out_c = W[mv'] + cellx(row) * W[q1] +
             # celly(lane) * W[q2] + cellz(lane) * W[q3]; mass row verbatim.
@@ -390,6 +412,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             # window at lane offset z8*16 (roll; the part wrapping past lane
             # 128 belongs to the second window row)
             zeros96 = jnp.zeros((16, 96), dtype)
+            if "p2gscatter" in ablate:
+                aout = jnp.zeros_like(aout)
             for dx in (0, 1):
                 for dy in (0, 1):
                     col = dx * 2 + dy
@@ -418,6 +442,10 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             for (name, w_), ref in zip(field_widths, field_refs):
                 fields[name] = ref[:] if w_ > 1 else ref[0]  # [.., chunk, tile]
             new_fields, contrib = material.update(d_inv, dt, a_batched, fields)
+            if "material" in ablate:
+                new_fields = fields
+                contrib = tuple(jnp.zeros_like(c) for c in contrib)
+
 
             # dead sub-tiles keep their input fields (padding must be inert)
             # (i32 mask: Mosaic can't minor-dim-reshape 1-bit vectors)

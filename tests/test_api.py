@@ -5,6 +5,7 @@ exports."""
 import time
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import claymore_tpu as cmt
@@ -12,6 +13,7 @@ from claymore_tpu.io.sampler import sample_uniform_box_world
 from claymore_tpu.utils.timers import StageTimer
 
 
+@pytest.mark.slow
 def test_update_material_rejits_and_softens():
     cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
@@ -27,7 +29,7 @@ def test_update_material_rejits_and_softens():
 
     fe = jnp.float32(1.0)
     s_hard, s_soft = state, state
-    for _ in range(40):
+    for _ in range(20):
         s_hard = eng.substep(s_hard, fe)
         s_soft = soft.substep(s_soft, fe)
     # same mass, different dynamics

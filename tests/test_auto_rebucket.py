@@ -79,8 +79,10 @@ def test_margin_is_positive_after_rebuild_and_shrinks_with_drift():
 def test_auto_skips_rebuilds_for_slow_scenes():
     """A slowly-moving body must not rebuild every substep: the slot layout
     (pid order) stays frozen between rebuilds."""
+    # same config as the margin test above: shares the compiled substep
+    # (drift per substep stays ~1e-3 cells — far under the rebuild trigger)
     cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256,
-                        default_dt=1e-4, rebucket_auto=True)
+                        default_dt=5e-4, rebucket_auto=True)
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e3, nu=0.3)
     pos = sample_uniform_box_world(cfg.dx, [0.4] * 3, [0.55] * 3, cfg.ppc)
     eng = cmt.MPMEngine(cfg, [mat], tile_chunk=4)

@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import claymore_tpu as cmt
@@ -77,6 +78,7 @@ def test_cli_runs_scene(tmp_path):
     assert np.all(np.isfinite(p))
 
 
+@pytest.mark.slow
 def test_cli_runs_multidevice_scene(tmp_path):
     """The shipped 4-device example scene (2x2 (x,z) box split) runs through
     the CLI on the virtual CPU mesh (VERDICT r1 #10)."""

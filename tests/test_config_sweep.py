@@ -14,11 +14,13 @@ from claymore_tpu.io.sampler import sample_uniform_box_world
 
 
 @pytest.mark.parametrize("domain_bits,particle_tile,rebucket", [
-    (5, 64, dict()),                        # tiny tiles
-    (5, 512, dict()),                       # tile larger than block load
+    pytest.param(5, 64, dict(), marks=pytest.mark.slow),   # tiny tiles
+    pytest.param(5, 512, dict(), marks=pytest.mark.slow),  # tile > block load
     (6, 128, dict(rebucket_auto=True)),     # drift-triggered
     (5, 128, dict(rebucket_every=4)),       # 4^3 arena
-    (6, 256, dict(defrag_every=4)),         # incremental rebucket
+    # incremental-rebucket conservation also runs (with equivalence) in
+    # test_incremental_rebucket; the sweep variant is -m slow
+    pytest.param(6, 256, dict(defrag_every=4), marks=pytest.mark.slow),
 ])
 def test_conservation_across_configs(domain_bits, particle_tile, rebucket):
     cfg = cmt.SimConfig(domain_bits=domain_bits, max_active_blocks=256,

@@ -133,6 +133,7 @@ def test_partition_and_tile_invariants():
     check_tiles(cfg, state)
 
 
+@pytest.mark.slow
 def test_sand_nacc_run_stable():
     cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=2e-4)
     for mat in (cmt.Sand(volume=cfg.default_volume(), e=1e4),

@@ -22,7 +22,10 @@ def _by_pid(eng, state):
     return out
 
 
-@pytest.mark.parametrize("k_every,defrag", [(1, 4), (2, 3)])
+@pytest.mark.parametrize("k_every,defrag", [
+    (1, 4),
+    pytest.param(2, 3, marks=pytest.mark.slow),
+])
 def test_incremental_matches_full_sort(k_every, defrag):
     base = dict(domain_bits=5, max_active_blocks=256, default_dt=5e-4,
                 rebucket_every=k_every)
@@ -59,6 +62,7 @@ def test_incremental_matches_full_sort(k_every, defrag):
     assert np.max(np.abs(pf - pi)) < 5e-6
 
 
+@pytest.mark.slow
 def test_incremental_actually_moves_particles():
     """Sanity: particles DO change home blocks during the run (the test
     above would be vacuous otherwise), and tiles stay key-pure."""

@@ -62,7 +62,7 @@ def test_sdf_roundtrip_and_sampling(tmp_path):
 
 def test_scene_json_end_to_end(tmp_path):
     scene = {
-        "simulation": {"default_dt": 5e-4, "fps": 48, "frames": 2},
+        "simulation": {"default_dt": 5e-4, "fps": 96, "frames": 1},
         "grid": {"domain_bits": 5, "max_active_blocks": 256},
         "models": [
             {
@@ -95,7 +95,7 @@ def test_scene_json_end_to_end(tmp_path):
     path = str(tmp_path / "scene.json")
     json.dump(scene, open(path, "w"))
     sc = load_scene(path, tile_chunk=4)
-    assert sc.frames == 2
+    assert sc.frames == 1
     assert len(sc.materials) == 2
     d0 = sc.engine.diagnostics(sc.state)
     total = sum(

@@ -10,7 +10,12 @@ import claymore_tpu as cmt
 from claymore_tpu.io.sampler import sample_uniform_box_world
 
 
-@pytest.mark.parametrize("k", [2, 4])
+@pytest.mark.parametrize("k", [
+    2,
+    # span-4 equivalence is -m slow; span-4 conservation stays in the
+    # default sweep (test_config_sweep rebucket4)
+    pytest.param(4, marks=pytest.mark.slow),
+])
 def test_lazy_matches_every_step(k):
     base = dict(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
     cfg1 = cmt.SimConfig(**base)

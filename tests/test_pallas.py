@@ -25,7 +25,7 @@ def test_pallas_matches_xla(mat_name, k):
         mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
     else:
         mat = cmt.JFluid(volume=cfg.default_volume())
-    pos = sample_uniform_box_world(cfg.dx, [0.45] * 3, [0.58] * 3, cfg.ppc)
+    pos = sample_uniform_box_world(cfg.dx, [0.45] * 3, [0.55] * 3, cfg.ppc)
 
     ref_eng = cmt.MPMEngine(cfg, [mat], tile_chunk=4)
     pal_eng = cmt.MPMEngine(cfg, [mat], tile_chunk=4, use_pallas="interpret")
@@ -56,10 +56,11 @@ def test_pallas_rejects_wide_arena():
     cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256,
                         rebucket_every=4)
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
-    with pytest.raises(AssertionError, match="span-2"):
+    with pytest.raises(ValueError, match="span-2"):
         cmt.MPMEngine(cfg, [mat], use_pallas=True)
 
 
+@pytest.mark.slow
 def test_bf16_arena_close_and_mass_exact():
     """g2p_arena_dtype="bfloat16" (docs/design_round3.md §3): mass must be
     bit-identical to the f32-arena path (P2G/mass rows untouched); particle

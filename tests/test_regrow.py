@@ -13,19 +13,20 @@ def test_grow_and_retrace_conserves_state():
     mat = cmt.FixedCorotated(volume=1e-6, e=1e4, nu=0.3)
     pos = sample_uniform_box_world(1 / 32, [0.45] * 3, [0.6] * 3, 8.0)
 
-    big = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
+    big = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4,
+                        fps=96)
     eng0 = cmt.MPMEngine(big, [mat], tile_chunk=4)
     s0 = eng0.init_state([pos], [(0.0, -0.4, 0.0)])
     octs0 = int(s0.partition.count[0])
 
     # tight capacity: occupancy trigger (>90%) fires on the first frame
     tight = cmt.SimConfig(domain_bits=5, max_active_blocks=octs0,
-                          default_dt=5e-4)
+                          default_dt=5e-4, fps=96)
     eng = cmt.MPMEngine(tight, [mat], tile_chunk=4)
     state = eng.init_state([pos], [(0.0, -0.4, 0.0)])
     mass0 = eng.diagnostics(state)["grid_mass"]
 
-    eng2, out = eng.run(state, 2, auto_grow=True)
+    eng2, out = eng.run(state, 1, auto_grow=True)
     assert eng2.cfg.max_active_blocks > tight.max_active_blocks
     d = eng2.diagnostics(out)
     assert d["model0_active"] == pos.shape[0]
@@ -35,7 +36,7 @@ def test_grow_and_retrace_conserves_state():
     assert float(out.t) > 0
 
     # regrown trajectory matches the amply-sized engine's (same physics)
-    _, out_big = eng0.run(s0, 2, auto_grow=True)
+    _, out_big = eng0.run(s0, 1, auto_grow=True)
     pa = eng2.get_positions(out)
     pb = eng0.get_positions(out_big)
     ka = np.lexsort((pa[:, 2], pa[:, 1], pa[:, 0]))
