@@ -95,6 +95,12 @@ def main():
 
     results = {"particles": n, "backend": jax.default_backend()}
 
+    def flush():
+        # write after every section: a late OOM/compile failure must not
+        # lose the measurements already taken
+        with open("MULTICHIP_PERF.json", "w") as f:
+            json.dump(results, f, indent=1)
+
     # --- single-chip engine -------------------------------------------
     eng1 = cmt.MPMEngine(cfg, [mat], tile_chunk=64, use_pallas=on_tpu)
     s1 = eng1.init_state([pos], [(0.0, -0.5, 0.0)])
@@ -128,8 +134,9 @@ def main():
         cfgs = cmt.SimConfig(domain_bits=10, max_active_blocks=40960,
                              default_dt=5e-5, rebucket_auto=True,
                              pallas_chunk=16, particle_tile=512)
-        # sphere slice sized to one shard's share: 100M/8 = 12.5M
-        post = sample_sphere(cfgs.dx, (0.5, 0.55, 0.5), 0.1405, cfgs.ppc)
+        # sphere sized to one shard's share of the 100M scene: 12.5M
+        # particles = (4/3) pi r^3 * 1024^3 cells * 8 ppc  =>  r ~ 0.0703
+        post = sample_sphere(cfgs.dx, (0.5, 0.55, 0.5), 0.0703, cfgs.ppc)
         cfgs = dataclasses.replace(
             cfgs, max_tiles=exact_tiles(cfgs, [post], slack=1.25))
         mats = cmt.FixedCorotated(volume=cfgs.default_volume(), e=5e3, nu=0.4)
