@@ -108,6 +108,7 @@ def main():
     float(np.asarray(s1.t))
     dt1, s1 = timed_steps(eng1.run_steps, s1, 20)
     results["single_ms_per_step"] = dt1 / 20 * 1e3
+    flush()
 
     # --- mesh(1) sharded engine ----------------------------------------
     engm = MultiChipEngine(cfg, [mat], n_devices=1, tile_chunk=64,
@@ -120,6 +121,7 @@ def main():
     results["spmd_overhead_pct"] = (dtm / dt1 - 1.0) * 100.0
     engm.check_health(sm, strict=False)
     results["mesh1_halo_bytes_per_substep"] = bytes_per_substep(engm.comm)
+    flush()
 
     # --- config-5 single-shard unit cost (VERDICT r3 item 3) -----------
     # One 4x2-mesh shard of the 100M scene: domain_bits=10 geometry with
@@ -150,6 +152,7 @@ def main():
         d = engs.diagnostics(ss)
         results["config5_shard_dropped"] = int(
             d.get("model0_dropped_tiles", 0))
+        flush()
 
     # --- BASELINE config-5 exchange accounting (4x2 mesh, 1024^3) ------
     # capacities from scenes/sphere_100m_8dev.json
