@@ -70,9 +70,10 @@ class SimConfig:
     # True: the kernel double-buffer DMAs its 4x2 window rows straight from
     # the HBM pool (prefetching one program ahead), eliminating the XLA
     # gather + arena temp write + kernel re-read, and skipping fetches for
-    # dead programs outright.  False: XLA row gather into an arena temp —
-    # the only path that can quantize (g2p_arena_dtype="bfloat16" implies
-    # the gather path; DMA cannot convert dtypes).
+    # dead programs outright.  With g2p_arena_dtype="bfloat16" the grid
+    # kernel stores the velocity pool itself in bf16 (same rounding the
+    # gather applied), so the DMA windows ride at half width.  False: XLA
+    # row gather into an arena temp, converting dtypes at the gather.
     g2p_window_dma: bool = True
 
     # --- lazy rebucketing ---

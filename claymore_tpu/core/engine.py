@@ -206,10 +206,20 @@ def substep_impl(
         # SDF-grid collider needs gathers -> XLA path)
         from ..ops.pallas_grid import grid_update_pallas
 
+        # bf16 G2P arenas compose with the in-kernel DMA window path by
+        # storing the velocity pool itself in bf16 (same rounding the
+        # gather path applied, half the window traffic); pool_v is
+        # substep-transient, so the state's f32 pools are untouched
+        out_dtype = (
+            jnp.bfloat16
+            if cfg.g2p_arena_dtype == "bfloat16" and cfg.g2p_window_dma
+            else None
+        )
         pool_v, max_vel_sqr = grid_update_pallas(
             cfg, state.grid, state.partition, dt,
             colliders=colliders, collider_time=state.t,
             interpret=(use_pallas == "interpret"),
+            out_dtype=out_dtype,
         )
     else:
         pool_v, max_vel_sqr = grid_ops.grid_update(

@@ -125,7 +125,7 @@ def _ablate() -> frozenset:
 
 def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                  field_widths: Tuple[Tuple[str, int], ...], chunk: int,
-                 window_dma: bool = False):
+                 window_dma: bool = False, arena_dtype=jnp.float32):
     d_inv = cfg.d_inv
     mass = material.mass
     g = cfg.grid_size
@@ -523,11 +523,16 @@ def g2p2g_pallas(
     field_widths = tuple(
         (k, v.shape[0] if v.ndim > 1 else 1) for k, v in model.fields.items()
     )
-    # bf16 arenas quantize at the XLA gather (DMA cannot convert), so the
-    # opt-in keeps the gather path; everything else rides the in-kernel DMA
-    window_dma = cfg.g2p_window_dma and cfg.g2p_arena_dtype != "bfloat16"
+    # bf16 arenas ride the DMA path when the velocity pool is ALREADY bf16
+    # (the grid kernel stored it quantized — engine.substep_impl wires
+    # this); a bf16 request against an f32 pool falls back to the XLA
+    # gather, the only place that can convert dtypes
+    want_bf16 = cfg.g2p_arena_dtype == "bfloat16"
+    window_dma = cfg.g2p_window_dma and (
+        not want_bf16 or pool_v.dtype == jnp.bfloat16)
     kernel = _make_kernel(cfg, material, tile, field_widths, chunk,
-                          window_dma=window_dma)
+                          window_dma=window_dma,
+                          arena_dtype=pool_v.dtype)
 
     # Large models run the gather -> kernel -> scatter pipeline over macro
     # chunks of tiles under lax.scan, bounding the [G, 4, 2, 16, 128]
@@ -569,7 +574,7 @@ def g2p2g_pallas(
             inputs = [pool_v]
         else:
             arenas_in = pool_v[widx]                       # [mg, 4, 2, 16, 128]
-            if cfg.g2p_arena_dtype == "bfloat16":
+            if want_bf16 and arenas_in.dtype != jnp.bfloat16:
                 # fuses into the gather: the arena temp is written and
                 # kernel-read at half width; the f32 pool is untouched
                 arenas_in = arenas_in.astype(jnp.bfloat16)
@@ -616,7 +621,7 @@ def g2p2g_pallas(
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=(
-                [pltpu.VMEM((2, gpp, 4, 2, 16, 128), jnp.float32),
+                [pltpu.VMEM((2, gpp, 4, 2, 16, 128), pool_v.dtype),
                  pltpu.SemaphoreType.DMA((2, gpp, 4, 2))]
                 if window_dma else []
             ),

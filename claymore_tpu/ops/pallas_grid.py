@@ -88,10 +88,11 @@ def _make_kernel(cfg: SimConfig, total: int, rows: int, colliders=()):
 
         vs = [jnp.where(has, v, 0.0) for v in vs]
 
-        out_ref[:, 0:4] = m
-        out_ref[:, 4:8] = vs[0]
-        out_ref[:, 8:12] = vs[1]
-        out_ref[:, 12:16] = vs[2]
+        od = out_ref.dtype
+        out_ref[:, 0:4] = m.astype(od)
+        out_ref[:, 4:8] = vs[0].astype(od)
+        out_ref[:, 8:12] = vs[1].astype(od)
+        out_ref[:, 12:16] = vs[2].astype(od)
 
         vsq = vs[0] * vs[0] + vs[1] * vs[1] + vs[2] * vs[2]
         vsq = jnp.where(jnp.isnan(vsq), jnp.inf, vsq)      # NaN poisons dt
@@ -115,8 +116,16 @@ def grid_update_pallas(
     colliders: Sequence = (),
     collider_time: jnp.ndarray | None = None,
     interpret: bool = False,
+    out_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(m, mom) pool -> (m, v) pool and max |v|^2 (oct layout, one pass)."""
+    """(m, mom) pool -> (m, v) pool and max |v|^2 (oct layout, one pass).
+
+    ``out_dtype`` (default: the input pool's dtype) lets the velocity pool
+    quantize at the store — with bf16 G2P arenas under the in-kernel DMA
+    window path, storing the pool itself in bf16 halves the window DMA
+    traffic with exactly the same rounding the gather path applied (the
+    CFL max and all in-kernel math stay f32; the P2G accumulation pool is
+    a separate f32 buffer, so conservation is untouched)."""
     assert all(getattr(c, "pallas_ok", False) for c in colliders), (
         "grid_update_pallas only takes analytic colliders (resolve_soa); "
         "SDF-grid colliders need the XLA path"
@@ -153,7 +162,7 @@ def grid_update_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+            jax.ShapeDtypeStruct(pool.shape, out_dtype or pool.dtype),
             jax.ShapeDtypeStruct((n_prog, 8, 128), jnp.float32),
         ],
         interpret=interpret,
