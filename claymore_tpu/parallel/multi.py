@@ -333,6 +333,8 @@ class HaloComm:
         """
         cfg = self.cfg
         k = self.mig_cap
+        if isinstance(enable, bool):
+            enable = jnp.bool_(enable)
         out = []
         dropped = jnp.zeros((1,), jnp.int32)
         for model in models:
@@ -342,49 +344,86 @@ class HaloComm:
             # one axis at a time: corner crossers move diagonally within a
             # single call via two hops (x then z)
             for a in range(len(self.axes)):
-                hb = part.home_block(cfg, pos)[self.axes[a][1]]
+                dim = self.axes[a][1]
                 _, lo, hi = self._bounds(a)
-                payloads = {}
-                for name, cond, step in (
-                    ("left", active & (hb < lo) & enable, -1),
-                    ("right", active & (hb >= hi) & enable, +1),
-                ):
-                    (idx,) = jnp.nonzero(cond, size=k, fill_value=p)
-                    valid = idx < p
-                    # senders beyond capacity stay resident on the wrong
-                    # shard: deactivate AND count them (they must not keep
-                    # scattering)
-                    want = jnp.sum(cond, dtype=jnp.int32)
-                    got = jnp.sum(valid, dtype=jnp.int32)
-                    dropped = dropped + (want - got).reshape(1)
-                    gidx = jnp.minimum(idx, p - 1)
-                    payload = {
-                        "pos": pos[:, gidx],
-                        "valid": valid,
-                        "pid": pid[gidx],
-                        **{f: v[..., gidx] for f, v in fields.items()},
-                    }
-                    payloads[name] = jax.tree.map(
-                        lambda x: self._shift(x, a, step), payload
-                    )
-                    # deactivate every lane that wants to leave (shipped or
-                    # not — unshipped crossers are counted as dropped above)
-                    active = active & ~cond
 
-                for name in ("left", "right"):
-                    rv = payloads[name]
-                    (free,) = jnp.nonzero(~active, size=k, fill_value=p)
-                    ok = rv["valid"] & (free < p)
-                    # received-but-unplaced particles are lost: count them
-                    dropped = dropped + jnp.sum(
-                        rv["valid"] & (free >= p), dtype=jnp.int32
-                    ).reshape(1)
-                    tgt = jnp.where(ok, free, p)
-                    pos = pos.at[:, tgt].set(rv["pos"], mode="drop")
-                    pid = pid.at[tgt].set(rv["pid"], mode="drop")
-                    for f in fields:
-                        fields[f] = fields[f].at[..., tgt].set(rv[f], mode="drop")
-                    active = active.at[tgt].set(True, mode="drop")
+                # The pack (nonzero compactions + payload gathers) and the
+                # place (free-lane search + minor-dim scatters) are
+                # lax.cond-gated: unconditional, their index machinery cost
+                # ~80 ms/substep at 1M on TPU (minor-dim scatter serializes
+                # on the scalar path) even with an all-false mask — 10x the
+                # whole single-chip substep.  Only the ppermutes between the
+                # conds run every substep (collectives must stay congruent
+                # across shards: ``enable`` is the shard-LOCAL rebuild
+                # predicate, so a neighbor may send while we skip — receive
+                # placement therefore gates on what actually arrived, never
+                # on our own predicate).
+                def _pack(pos, active, pid, fields, lo=lo, hi=hi, dim=dim):
+                    hb = part.home_block(cfg, pos)[dim]
+                    pls, drops = [], jnp.zeros((1,), jnp.int32)
+                    for cond in (active & (hb < lo), active & (hb >= hi)):
+                        (idx,) = jnp.nonzero(cond, size=k, fill_value=p)
+                        valid = idx < p
+                        # senders beyond capacity stay resident on the wrong
+                        # shard: deactivate AND count them (they must not
+                        # keep scattering)
+                        want = jnp.sum(cond, dtype=jnp.int32)
+                        got = jnp.sum(valid, dtype=jnp.int32)
+                        drops = drops + (want - got).reshape(1)
+                        gidx = jnp.minimum(idx, p - 1)
+                        pls.append({
+                            "pos": pos[:, gidx],
+                            "valid": valid,
+                            "pid": pid[gidx],
+                            **{f: v[..., gidx] for f, v in fields.items()},
+                        })
+                        # deactivate every lane that wants to leave (shipped
+                        # or not — unshipped crossers are counted above)
+                        active = active & ~cond
+                    return pls[0], pls[1], active, drops
+
+                def _pack_skip(pos, active, pid, fields):
+                    z = {
+                        "pos": jnp.zeros((3, k), pos.dtype),
+                        "valid": jnp.zeros((k,), bool),
+                        "pid": jnp.zeros((k,), pid.dtype),
+                        **{f: jnp.zeros(v.shape[:-1] + (k,), v.dtype)
+                           for f, v in fields.items()},
+                    }
+                    return z, dict(z), active, jnp.zeros((1,), jnp.int32)
+
+                pl_l, pl_r, active, dr = jax.lax.cond(
+                    enable, _pack, _pack_skip, pos, active, pid, fields)
+                dropped = dropped + dr
+                rvs = (jax.tree.map(lambda x: self._shift(x, a, -1), pl_l),
+                       jax.tree.map(lambda x: self._shift(x, a, +1), pl_r))
+
+                def _place(pos, active, pid, fields, rvs=rvs):
+                    drops = jnp.zeros((1,), jnp.int32)
+                    for rv in rvs:
+                        (free,) = jnp.nonzero(~active, size=k, fill_value=p)
+                        ok = rv["valid"] & (free < p)
+                        # received-but-unplaced particles are lost: count
+                        drops = drops + jnp.sum(
+                            rv["valid"] & (free >= p), dtype=jnp.int32
+                        ).reshape(1)
+                        tgt = jnp.where(ok, free, p)
+                        pos = pos.at[:, tgt].set(rv["pos"], mode="drop")
+                        pid = pid.at[tgt].set(rv["pid"], mode="drop")
+                        for f in fields:
+                            fields[f] = fields[f].at[..., tgt].set(
+                                rv[f], mode="drop")
+                        active = active.at[tgt].set(True, mode="drop")
+                    return pos, active, pid, fields, drops
+
+                def _place_skip(pos, active, pid, fields):
+                    return (pos, active, pid, fields,
+                            jnp.zeros((1,), jnp.int32))
+
+                has_rx = jnp.any(rvs[0]["valid"]) | jnp.any(rvs[1]["valid"])
+                pos, active, pid, fields, dr2 = jax.lax.cond(
+                    has_rx, _place, _place_skip, pos, active, pid, fields)
+                dropped = dropped + dr2
             out.append(model._replace(pos=pos, fields=fields, active=active,
                                       pid=pid))
         return out, dropped
