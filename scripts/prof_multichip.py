@@ -94,6 +94,17 @@ def main():
         return best, out
 
     results = {"particles": n, "backend": jax.default_backend()}
+    # merge over a prior artifact so sections can be re-measured
+    # independently (e.g. mesh1 after a comm fix, keeping config5)
+    if not tiny and os.path.exists("MULTICHIP_PERF.json"):
+        try:
+            with open("MULTICHIP_PERF.json") as f:
+                prior = json.load(f)
+            if prior.get("backend") == results["backend"]:
+                prior.update(results)
+                results = prior
+        except Exception:
+            pass
 
     def flush():
         # write after every section: a late OOM/compile failure must not
