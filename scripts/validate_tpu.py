@@ -45,8 +45,11 @@ def validate_pallas_vs_xla() -> None:
         f"{jax.default_backend()} (run it in the bench environment)"
     )
 
+    # bit-tight equivalence pins f32 arenas + exact dots; the shipping
+    # bf16 defaults are bounded separately (validate_default_quantized)
     cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
-                        default_dt=2e-4)
+                        default_dt=2e-4, g2p_arena_dtype="float32",
+                        mxu_precision="highest")
     mats = [
         cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3),
         cmt.JFluid(volume=cfg.default_volume()),
@@ -106,7 +109,8 @@ def validate_macro_chunked() -> None:
     from claymore_tpu.io.sampler import sample_uniform_box_world
 
     cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
-                        default_dt=2e-4)
+                        default_dt=2e-4, g2p_arena_dtype="float32",
+                        mxu_precision="highest")
     cfg_scan = dataclasses.replace(cfg, pallas_macro_tiles=64,
                                    pallas_chunk=16)
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
@@ -127,6 +131,40 @@ def validate_macro_chunked() -> None:
     err = cloud_err(c1, c2)
     assert err < 5e-5, f"macro-chunked cloud divergence {err:.2e}"
     print(f"macro-chunked pipeline: cloud err {err:.2e}")
+
+
+def validate_default_quantized() -> None:
+    """The SHIPPING defaults (bf16 G2P arenas + bf16x3 dots + exact mass
+    channel) vs the f32 oracle: mass must stay at f32 roundoff (the mass
+    rows never run quantized), trajectories within the storage-quantization
+    budget.  This is the bound the default flagship bench runs under."""
+    import jax
+    import jax.numpy as jnp
+
+    import claymore_tpu as cmt
+    from claymore_tpu.io.sampler import sample_uniform_box_world
+
+    cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
+                        default_dt=2e-4)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos = sample_uniform_box_world(cfg.dx, [0.4, 0.5, 0.4],
+                                   [0.55, 0.65, 0.55], cfg.ppc)
+    e_p = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=True)
+    e_x = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=False)
+    s_p = e_p.init_state([pos], [(0.2, -0.4, 0.0)])
+    s_x = e_x.init_state([pos], [(0.2, -0.4, 0.0)])
+    fe = jnp.float32(1e9)
+    s_p = e_p.run_steps(s_p, 8, fe)
+    s_x = e_x.run_steps(s_x, 8, fe)
+    jax.block_until_ready((s_p, s_x))
+    dp, dx_ = e_p.diagnostics(s_p), e_x.diagnostics(s_x)
+    rel = abs(dp["grid_mass"] - dx_["grid_mass"]) / max(dx_["grid_mass"],
+                                                        1e-30)
+    assert rel < 1e-6, f"default-config mass drift vs oracle: {rel:.2e}"
+    err = cloud_err(e_p.get_positions(s_p), e_x.get_positions(s_x))
+    assert err < 1e-3, f"default-config cloud divergence {err:.2e}"
+    print(f"default (bf16 arenas + bf16x3): mass rel {rel:.2e}, "
+          f"cloud err {err:.2e} over 8 substeps")
 
 
 def smoke_domain10() -> None:
@@ -159,6 +197,7 @@ def smoke_domain10() -> None:
 if __name__ == "__main__":
     validate_pallas_vs_xla()
     validate_macro_chunked()
+    validate_default_quantized()
     smoke_domain10()
     print("TPU validation: OK")
     sys.exit(0)

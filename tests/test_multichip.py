@@ -137,7 +137,10 @@ def test_migration_overflow_is_counted():
 
 @pytest.mark.slow
 def test_multichip_pallas_interpret_matches_xla():
-    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=128, default_dt=5e-4)
+    # exact equivalence pins f32 arenas (the default bf16 arenas quantize
+    # only the pallas side; their bound is tested in test_pallas.py)
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=128, default_dt=5e-4,
+                        g2p_arena_dtype="float32")
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
     pos = sample_uniform_box_world(cfg.dx, [0.35] * 3, [0.6] * 3, cfg.ppc)
     e1 = MultiChipEngine(cfg, [mat], n_devices=4, tile_chunk=4)

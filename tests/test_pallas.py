@@ -19,8 +19,10 @@ from claymore_tpu.io.sampler import sample_uniform_box_world
     pytest.param("fixed_corotated", 2, marks=pytest.mark.slow),
 ])
 def test_pallas_matches_xla(mat_name, k):
+    # exact equivalence pins f32 arenas: the XLA oracle never quantizes its
+    # G2P input (the default bf16 arena bound has its own test below)
     cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256, default_dt=5e-4,
-                        rebucket_every=k)
+                        rebucket_every=k, g2p_arena_dtype="float32")
     if mat_name == "fixed_corotated":
         mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
     else:
@@ -66,7 +68,7 @@ def test_bf16_arena_close_and_mass_exact():
     bit-identical to the f32-arena path (P2G/mass rows untouched); particle
     velocities may differ by the bf16 storage quantization (~2^-9 rel)."""
     base = dict(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
-    cfg32 = cmt.SimConfig(**base)
+    cfg32 = cmt.SimConfig(**base, g2p_arena_dtype="float32")
     cfg16 = cmt.SimConfig(**base, g2p_arena_dtype="bfloat16")
     mat = cmt.JFluid(volume=cfg32.default_volume())
     pos = sample_uniform_box_world(cfg32.dx, [0.45] * 3, [0.58] * 3,
