@@ -162,10 +162,19 @@ def _write_validate_artifact(path="VALIDATE.json"):
 
     import dataclasses as _dc
 
-    def run_pair(cfg):
-        mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    def run_pair(cfg, mat=None):
+        # the ORACLE engine is always pinned to f32 arenas + exact dots —
+        # comparing a quantized kernel against a quantized oracle can't
+        # certify conservation (the r4 bf16 default flip shipped exactly
+        # that bug: the oracle's own mass drifted at "high" and the gate
+        # went permanently red, VERDICT r4 weak #1)
+        ocfg = _dc.replace(cfg, g2p_arena_dtype="float32",
+                           mxu_precision="highest")
+        if mat is None:
+            mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4,
+                                     nu=0.3)
         pos = sample_uniform_box_world(cfg.dx, [0.4] * 3, [0.6] * 3, cfg.ppc)
-        ref = cmt.MPMEngine(cfg, [mat], tile_chunk=8)
+        ref = cmt.MPMEngine(ocfg, [mat], tile_chunk=8)
         pal = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=True)
         v0 = [(0.2, -0.4, 0.1)]
         sr, sp = ref.init_state([pos], v0), pal.init_state([pos], v0)
@@ -179,32 +188,48 @@ def _write_validate_artifact(path="VALIDATE.json"):
         kp = np.lexsort((pp[:, 2], pp[:, 1], pp[:, 0]))
         cloud = float(np.max(np.abs(pr[kr] - pp[kp]))) \
             if pr.shape == pp.shape else float("inf")
+        expected = pos.shape[0] * mat.mass
         return {
             "grid_err": float(np.max(np.abs(gr - gp))),
             "grid_mass_rel": float(
                 abs(gr[:-1, 0:4].sum() - gp[:-1, 0:4].sum())
                 / max(gr[:-1, 0:4].sum(), 1e-30)),
+            "mass_vs_analytic": float(
+                abs(gp[:-1, 0:4].sum() - expected) / expected),
             "cloud_err": cloud,
             "particles": int(pos.shape[0]),
         }
 
     base = cmt.SimConfig(domain_bits=6, max_active_blocks=512,
                          default_dt=2e-4)
+    exact_cfg = _dc.replace(base, g2p_arena_dtype="float32",
+                            mxu_precision="highest")
     # (1) bit-tight Mosaic lowering regression: f32 arenas + exact dots —
     # the kernel must match the oracle to f32 roundoff accumulation
-    exact = run_pair(_dc.replace(base, g2p_arena_dtype="float32",
-                                 mxu_precision="highest"))
-    # (2) the SHIPPING defaults (bf16 arenas + bf16x3 dots + exact mass):
-    # mass at f32 roundoff, trajectories within the storage-quantization
-    # budget (~2^-9 velocity per gather over 4 substeps)
+    exact = run_pair(exact_cfg)
+    # (2) the SHIPPING defaults (bf16 arenas + bf16x3 dots + exact mass)
+    # vs the f32 oracle: mass at f32 roundoff (the exact-mass side dot),
+    # trajectories within the storage-quantization budget (~2^-9 velocity
+    # per gather over 4 substeps)
     dflt = run_pair(base)
+    # (3) in-kernel SVD materials through the compiled (Mosaic) kernel —
+    # the Jacobi/Givens lowering is the risk surface the elastic check
+    # can't see (reference constitutive_models.cuh:78-335)
+    vol = exact_cfg.default_volume()
+    sand = run_pair(exact_cfg, cmt.Sand(volume=vol, e=1e4, rho=1500.0))
+    nacc = run_pair(exact_cfg, cmt.NACC(volume=vol, e=1e4))
+    svd_ok = all(r["cloud_err"] < 1e-5 and r["grid_err"] < 1e-4
+                 for r in (sand, nacc))
     art = {
-        "check": "mosaic kernel vs XLA oracle, 4 substeps, db=6 elastic",
+        "check": "mosaic kernel vs f32 XLA oracle, 4 substeps, db=6",
         "exact": exact,
         "default": dflt,
+        "sand": sand,
+        "nacc": nacc,
         "ok": bool(exact["cloud_err"] < 1e-5 and exact["grid_err"] < 1e-4
                    and dflt["grid_mass_rel"] < 1e-6
-                   and dflt["cloud_err"] < 1e-3),
+                   and dflt["mass_vs_analytic"] < 1e-6
+                   and dflt["cloud_err"] < 1e-3 and svd_ok),
     }
     with open(path, "w") as f:
         json.dump(art, f, indent=1)

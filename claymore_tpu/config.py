@@ -61,8 +61,18 @@ class SimConfig:
     # error sits far below both the bf16 arena storage quantization (2^-9)
     # and dt-level time-discretization error.  Multi-frame conservation/
     # divergence soak: SOAK_PRECISION.json (scripts/soak_precision.py).
-    # Non-TPU backends always compute exact f32 (the flag is a no-op there).
+    # Non-TPU backends compute exact f32 (the flag is a no-op there) unless
+    # force_mxu_split=True below.
     mxu_precision: str = "high"
+
+    # --- test hook: emulate the bf16x3 split off-TPU ---
+    # On CPU/interpret backends the native f32 dot is exact, so the manual
+    # hi/lo split (and its interplay with the exact-mass side dot) is
+    # normally skipped there — which means no CI configuration exercises
+    # the shipping "high" arithmetic.  force_mxu_split=True runs the split
+    # on every backend so interpret-mode tests cover the exact code path
+    # the chip executes (VERDICT r4 weak #5).  Never needed on TPU.
+    force_mxu_split: bool = False
 
     # --- G2P arena storage precision (Pallas backend only) ---
     # "bfloat16" stores the gathered grid-velocity windows in bf16, halving

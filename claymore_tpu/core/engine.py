@@ -201,9 +201,12 @@ def substep_impl(
     """
     dt = state.dt
 
-    if use_pallas and all(getattr(c, "pallas_ok", False) for c in colliders):
-        # single-pass kernel; analytic colliders run inside it (only the
-        # SDF-grid collider needs gathers -> XLA path)
+    from ..ops.pallas_grid import kernel_colliders_ok
+
+    if use_pallas and kernel_colliders_ok(cfg, colliders):
+        # single-pass kernel; analytic colliders run inside it and static
+        # SDF-grid colliders ride a pre-sampled per-cell cache (only
+        # animated / oversized SDF colliders need the XLA path)
         from ..ops.pallas_grid import grid_update_pallas
 
         # bf16 G2P arenas compose with the in-kernel DMA window path by
@@ -383,6 +386,10 @@ def substep_impl(
         droppeds = tuple(m.tiles.dropped for m in models)
         return tuple(models), tile_keys, droppeds
 
+    # a trivial comm (mesh of size 1 on every axis) has no halo mass to
+    # track, so it takes the single-chip cond-gated rebuild below instead
+    # of the every-substep partition rebuild the halo protocol needs
+    comm_live = comm is not None and not getattr(comm, "trivial", False)
     if k_every == 1 and not auto:
         new_models, tile_keys, droppeds = _rebucket(tuple(new_models))
         partition, next_pool = part.rebuild(
@@ -392,7 +399,7 @@ def substep_impl(
             pm._replace(tiles=part.finalize_tiles(cfg, partition, tk, dr))
             for pm, tk, dr in zip(new_models, tile_keys, droppeds)
         )
-    elif comm is not None:
+    elif comm_live:
         # Multi-chip lazy rebucketing: the PARTITION must still track this
         # substep's halo mass every substep — otherwise add_halo would zero
         # neighbor contributions through the null block on skip substeps
@@ -521,20 +528,33 @@ class MPMEngine:
         self.colliders = tuple(colliders)
         self.tile_chunk = tile_chunk
         self.use_pallas = use_pallas
-        if use_pallas and not all(
-            getattr(c, "pallas_ok", False) for c in self.colliders
-        ):
+        from ..ops.pallas_grid import kernel_colliders_ok
+
+        if use_pallas and not kernel_colliders_ok(cfg, self.colliders):
             # loud, not silent: the XLA grid formulation costs ~7x the
             # single-pass kernel (measured 14.7 vs ~2 ms at 65k octs)
             import warnings
 
-            slow = [type(c).__name__ for c in self.colliders
-                    if not getattr(c, "pallas_ok", False)]
+            slow = [
+                type(c).__name__ for c in self.colliders
+                if not (getattr(c, "pallas_ok", False)
+                        or (hasattr(c, "oct_cache_ok")
+                            and c.oct_cache_ok(cfg)))
+            ]
             warnings.warn(
-                f"colliders {slow} have no in-kernel (resolve_soa) form; "
-                "the grid update falls back to the slower XLA path",
+                f"colliders {slow} have neither an in-kernel (resolve_soa) "
+                "form nor a static oct cache; the grid update falls back "
+                "to the slower XLA path",
                 RuntimeWarning, stacklevel=2,
             )
+        if use_pallas:
+            # SDF caches must exist BEFORE the substep traces: the build
+            # runs host-side numpy chunking that cannot execute under jit
+            for c in self.colliders:
+                if (not getattr(c, "pallas_ok", False)
+                        and hasattr(c, "oct_cache_ok")
+                        and c.oct_cache_ok(cfg)):
+                    c.build_oct_cache(cfg)
         if use_pallas:
             # The oct-window kernel supports exactly the config space that
             # wins on TPU: span-2 arenas + full-sort rebuckets.  Span-4
@@ -818,6 +838,16 @@ class MPMEngine:
         cfg = self.cfg
         fe = jnp.float32(1e9)
 
+        # mirror substep_impl's production precision path (ADVICE r4): the
+        # grid kernel stores the velocity pool in bf16 under the default
+        # config, and the transfer kernel's DMA window path only engages on
+        # a bf16 pool — otherwise per-stage profiles misattribute costs vs
+        # the real substep.  The fori_loop carry must keep a stable dtype,
+        # so each stage casts back to f32 (~1 ms at flagship pool sizes,
+        # noted rather than hidden).
+        bf16_pool = (self.use_pallas and cfg.g2p_arena_dtype == "bfloat16"
+                     and cfg.g2p_window_dma)
+
         def grid_stage(s):
             if self.use_pallas and all(
                 getattr(c, "pallas_ok", False) for c in self.colliders
@@ -826,24 +856,27 @@ class MPMEngine:
                 pool_v, mv = grid_update_pallas(
                     cfg, s.grid, s.partition, s.dt,
                     colliders=self.colliders, collider_time=s.t,
-                    interpret=(self.use_pallas == "interpret"))
+                    interpret=(self.use_pallas == "interpret"),
+                    out_dtype=(jnp.bfloat16 if bf16_pool else None))
             else:
                 pool_v, mv = grid_ops.grid_update(
                     cfg, s.grid, s.partition, s.dt, self.colliders, s.t)
-            return s._replace(grid=pool_v, max_vel=jnp.sqrt(mv))
+            return s._replace(grid=pool_v.astype(s.grid.dtype),
+                              max_vel=jnp.sqrt(mv))
 
         def transfer_stage(s):
             nxt = jnp.zeros_like(s.grid)
+            pool_v = s.grid.astype(jnp.bfloat16) if bf16_pool else s.grid
             models = []
             for mat, m in zip(self.materials, s.models):
                 if self.use_pallas:
                     from ..ops.pallas_g2p2g import g2p2g_pallas
                     m, nxt = g2p2g_pallas(
-                        cfg, mat, s.grid, s.partition.table, m, s.dt, s.dt,
+                        cfg, mat, pool_v, s.partition.table, m, s.dt, s.dt,
                         nxt, interpret=(self.use_pallas == "interpret"))
                 else:
                     m, nxt = transfer.g2p2g_model(
-                        cfg, mat, s.grid, s.partition.table, m, s.dt, s.dt,
+                        cfg, mat, pool_v, s.partition.table, m, s.dt, s.dt,
                         nxt, self.tile_chunk)
                 models.append(m)
             return s._replace(grid=nxt, models=tuple(models))

@@ -230,6 +230,22 @@ def g2p2g_model(
             ct, cells * 4, 4 * tile)
         arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=cfg.precision)
         arena_out = arena_out.reshape(ct, cells, cells, cells, 4)
+        if cfg.mxu_precision != "highest":
+            # exact-mass side contraction, mirroring the Pallas kernel's m8
+            # dot (ops/pallas_g2p2g.py): under reduced transfer precision
+            # the MASS channel is recomputed exactly so total grid mass —
+            # the conservation invariant every health check pins at f32
+            # roundoff — never rides a quantized dot.  Channel 0 receives
+            # contributions only from the plain-weight/s0 segment (the
+            # moment segments carry zero mass channels), so this is a
+            # numerical-identity replacement, not an approximation.
+            e0 = (wx2[:, :, None, :] * wy2[:, None, :, :]).reshape(
+                ct, cells * cells, tile)
+            r0 = wz2 * s0[:, 0:1, :]                      # [ct, cells, tile]
+            m_arena = jnp.einsum("tep,tfp->tef", e0, r0,
+                                 precision=jax.lax.Precision.HIGHEST)
+            arena_out = arena_out.at[..., 0].set(
+                m_arena.reshape(ct, cells, cells, cells))
 
         blocks = _scatter_layout(cfg, arena_out)
         acc = octpool.scatter_add_block_rows(
@@ -307,8 +323,12 @@ def rasterize_model(
             ct, cells * cells, tile)
         r = (wz[:, :, None, :] * sv[:, None, :, :]).reshape(
             ct, cells * 4, tile)
-        arena_out = jnp.einsum("tep,tfp->tef", e, r, precision=cfg.precision).reshape(
-            ct, cells, cells, cells, 4)
+        # init-time only: run the rasterization exact regardless of the
+        # transfer precision so the initial mass/momentum are f32-true
+        # (the per-substep path keeps its exact-mass side dot instead)
+        arena_out = jnp.einsum(
+            "tep,tfp->tef", e, r, precision=jax.lax.Precision.HIGHEST
+        ).reshape(ct, cells, cells, cells, 4)
         blocks = _scatter_layout(cfg, arena_out)
         carry = octpool.scatter_add_block_rows(
             cfg, carry, nb_slot.reshape(-1),

@@ -433,6 +433,96 @@ class SignedDistanceCollider(ColliderBase):
         return cls(sdf, dx, kind=kind, friction=friction, motion=motion,
                    gradients=grads, bound_cells=bound_cells)
 
+    # ------------------------------------------------------------------
+    # Pallas fast path: pre-sampled per-cell cache (VERDICT r4 item 7)
+    # ------------------------------------------------------------------
+    # The reference resolves SDF collisions INSIDE its grid kernel
+    # (MGSP/mgmpm_kernels.cuh:363) via per-cell trilinear fetches.  Mosaic
+    # has no gather, but the grid update only ever evaluates the SDF at
+    # CELL positions — so for a static collider the (sd, normal) of every
+    # cell is a constant field.  ``build_oct_cache`` samples it once at
+    # engine build into a pool-layout array [num_oct_keys + 1, 16, 128]
+    # (rows (c, cx) with c = (sd, nx, ny, nz), lanes (z8, cy, cz)); the
+    # grid kernel then consumes ``cache[partition.keys]`` rows — one row
+    # gather per substep, no in-kernel gather.  bf16 storage: sd/normals
+    # are floating-point, so the hit test and projection see ~2^-9
+    # relative error — far below the cell-size discretization of the
+    # collider itself.
+
+    def oct_cache_ok(self, cfg) -> bool:
+        """Static transforms only (an animated transform can't be baked
+        into a static cell sample), and domains whose full-key cache stays
+        small (db=8 -> 32768 keys x 4 KB bf16 = 134 MB; 1024^3 domains
+        keep the XLA path)."""
+        return self.motion.is_static and cfg.num_oct_keys <= 65536
+
+    def build_oct_cache(self, cfg, dtype=None):
+        """``dtype=None`` reuses whatever cache exists for this domain
+        (tests pin float32 for exact oracle equivalence; the shipping
+        default is bfloat16), building bf16 if none does."""
+        cache = getattr(self, "_oct_cache", None)
+        dom = (cfg.domain_bits, cfg.block_bits)
+        if cache is not None and self._oct_cache_key[:2] == dom and (
+            dtype is None or str(dtype) == self._oct_cache_key[2]
+        ):
+            return cache
+        if dtype is None:
+            dtype = jnp.bfloat16
+        key = dom + (str(dtype),)
+        import jax as _jax
+
+        g = cfg.grid_size
+        gzo = cfg.grid_size_zo
+        nok = cfg.num_oct_keys
+        bs = cfg.block_size
+        lane = jnp.arange(128, dtype=jnp.int32)
+        z8, cy, cz = lane >> 4, (lane >> 2) & 3, lane & 3
+        cxi = jnp.arange(4, dtype=jnp.int32)[:, None]         # [4, 1]
+
+        @_jax.jit
+        def sample(keys):                                     # [K] oct keys
+            bx = keys // (g * gzo)
+            by = (keys // gzo) % g
+            bzo = keys % gzo
+            x = (bx[:, None, None] * bs + cxi[None]).astype(jnp.float32)
+            y = (by[:, None, None] * bs + cy[None, None]).astype(jnp.float32)
+            z = ((bzo[:, None, None] * 8 + z8[None, None]) * bs
+                 + cz[None, None]).astype(jnp.float32)
+            shape = (keys.shape[0], 4, 128)
+            xw = jnp.stack([jnp.broadcast_to(a, shape)
+                            for a in (x, y, z)]) * cfg.dx     # [3, K, 4, 128]
+            # bake in the static transform exactly as resolve() applies it
+            # (is_static means zero RATES; the constant offset still holds)
+            off = jnp.asarray(self.motion.trans, jnp.float32)
+            xw = xw - off[:, None, None, None]
+            sd, nr = self.sdf_and_normal(xw.reshape(3, -1, 128))
+            sd = sd.reshape(keys.shape[0], 4, 128)
+            nr = nr.reshape(3, keys.shape[0], 4, 128)
+            rows = jnp.concatenate(
+                [sd[:, None], jnp.moveaxis(nr, 0, 1)], axis=1)  # [K, 4, 4, 128]
+            return rows.reshape(keys.shape[0], 16, 128).astype(dtype)
+
+        chunk = 2048
+        try:
+            parts = [
+                np.asarray(sample(jnp.arange(k0, min(k0 + chunk, nok),
+                                             dtype=jnp.int32)))
+                for k0 in range(0, nok, chunk)
+            ]
+        except _jax.errors.TracerArrayConversionError as e:
+            raise RuntimeError(
+                "SignedDistanceCollider.build_oct_cache must run EAGERLY "
+                "before the substep traces (the engines build it at "
+                "construction); it cannot be built inside jit"
+            ) from e
+        # sentinel row (key = num_oct_keys): sd = +1 -> never hits
+        sent = np.zeros((1, 16, 128), parts[0].dtype)
+        sent[0, 0:4] = 1.0
+        cache = jnp.asarray(np.concatenate(parts + [sent], axis=0))
+        self._oct_cache = cache
+        self._oct_cache_key = key
+        return cache
+
     def sdf_and_normal(self, x):
         n = self.values.shape[0]
         xc = x / self.dx

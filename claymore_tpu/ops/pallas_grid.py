@@ -36,13 +36,16 @@ from ..core.octpool import oct_coord
 _ROWS = 128           # oct rows per program (: 128*16*128*4 = 1 MB in VMEM)
 
 
-def _make_kernel(cfg: SimConfig, total: int, rows: int, colliders=()):
+def _make_kernel(cfg: SimConfig, total: int, rows: int, colliders=(),
+                 cached_specs=()):
     g = cfg.grid_size
     b = cfg.bound_blocks
     bs = cfg.block_size
     gx, gy, gz = (float(v) for v in cfg.gravity)
 
-    def kernel(sc_ref, pool_ref, bx_ref, by_ref, bzo_ref, out_ref, max_ref):
+    def kernel(sc_ref, pool_ref, bx_ref, by_ref, bzo_ref, *rest):
+        sdf_refs = rest[: len(cached_specs)]
+        out_ref, max_ref = rest[len(cached_specs):]
         i = pl.program_id(0)
         blk = pool_ref[...]                                # [R, 16, 128]
         m = blk[:, 0:4]                                    # [R, 4, 128]
@@ -86,6 +89,23 @@ def _make_kernel(cfg: SimConfig, total: int, rows: int, colliders=()):
                 v3 = col.resolve_soa(x3, v3, t)
             vs = list(v3)
 
+        if cached_specs:
+            # pre-sampled SDF colliders (VERDICT r4 item 7): each ref holds
+            # this program's active rows of the per-cell (sd, n) cache in
+            # the pool layout — the gather happened outside the kernel as
+            # one row gather; here it is pure elementwise projection, the
+            # same math the reference runs in-kernel per trilinear fetch
+            # (MGSP/mgmpm_kernels.cuh:363, boundary_condition.cuh:159-249).
+            from ..models.boundary import _project_soa
+
+            for (kind, friction), sref in zip(cached_specs, sdf_refs):
+                srow = sref[...].astype(jnp.float32)       # [R, 16, 128]
+                sd = srow[:, 0:4]
+                n3v = (srow[:, 4:8], srow[:, 8:12], srow[:, 12:16])
+                hit = sd <= 0.0
+                proj = _project_soa(tuple(vs), n3v, kind, friction)
+                vs = [jnp.where(hit, p, v) for p, v in zip(proj, vs)]
+
         vs = [jnp.where(has, v, 0.0) for v in vs]
 
         od = out_ref.dtype
@@ -125,11 +145,23 @@ def grid_update_pallas(
     window path, storing the pool itself in bf16 halves the window DMA
     traffic with exactly the same rounding the gather path applied (the
     CFL max and all in-kernel math stay f32; the P2G accumulation pool is
-    a separate f32 buffer, so conservation is untouched)."""
-    assert all(getattr(c, "pallas_ok", False) for c in colliders), (
-        "grid_update_pallas only takes analytic colliders (resolve_soa); "
-        "SDF-grid colliders need the XLA path"
-    )
+    a separate f32 buffer, so conservation is untouched).
+
+    Colliders split three ways: analytic ones (``resolve_soa``) run as
+    in-kernel VPU math; static SDF-grid colliders run from a pre-sampled
+    per-cell cache (``build_oct_cache``) gathered per active row outside
+    the kernel; anything else must take the XLA path (the engine gates)."""
+    soa_cols, cached = [], []
+    for c in colliders:
+        if getattr(c, "pallas_ok", False):
+            soa_cols.append(c)
+        elif hasattr(c, "oct_cache_ok") and c.oct_cache_ok(cfg):
+            cached.append(c)
+        else:
+            raise AssertionError(
+                f"{type(c).__name__} has neither an in-kernel (resolve_soa)"
+                " form nor a static oct cache; it needs the XLA path"
+            )
     o1 = pool.shape[0]
     rows = min(_ROWS, o1)
     n_prog = -(-o1 // rows)                               # ceil
@@ -141,7 +173,15 @@ def grid_update_pallas(
     cols = [jnp.concatenate([a.astype(jnp.int32), z1])[:, None]
             for a in (bx, by, bzo)]                       # [O+1, 1] each
 
-    kernel = _make_kernel(cfg, o1, rows, tuple(colliders))
+    # active rows of each cached SDF field (one row gather per substep;
+    # key sentinel -> the cache's no-hit row)
+    nok = cfg.num_oct_keys
+    keys_pad = jnp.concatenate(
+        [jnp.minimum(partition.keys, nok), jnp.full((1,), nok, jnp.int32)])
+    sdf_rows = [c.build_oct_cache(cfg)[keys_pad] for c in cached]
+
+    cached_specs = tuple((c.kind, c.friction) for c in cached)
+    kernel = _make_kernel(cfg, o1, rows, tuple(soa_cols), cached_specs)
     row_spec = pl.BlockSpec((rows, 16, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
@@ -155,7 +195,7 @@ def grid_update_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             row_spec, col_spec, col_spec, col_spec,
-        ],
+        ] + [row_spec] * len(sdf_rows),
         out_specs=[
             row_spec,
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
@@ -166,5 +206,15 @@ def grid_update_pallas(
             jax.ShapeDtypeStruct((n_prog, 8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, pool, *cols)
+    )(scalars, pool, *cols, *sdf_rows)
     return pool_v, jnp.max(maxes)
+
+
+def kernel_colliders_ok(cfg: SimConfig, colliders) -> bool:
+    """True when EVERY collider can ride the Pallas grid kernel — either
+    analytic in-kernel math or a static pre-sampled SDF cache."""
+    return all(
+        getattr(c, "pallas_ok", False)
+        or (hasattr(c, "oct_cache_ok") and c.oct_cache_ok(cfg))
+        for c in colliders
+    )

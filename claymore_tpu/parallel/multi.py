@@ -80,8 +80,18 @@ class HaloComm:
         self.mesh_shape = tuple(mesh_shape)
         self.margin = margin
         self.mig_cap = mig_cap
+        # Axes of extent 1 carry no neighbors: a ppermute along them has an
+        # EMPTY permutation (= writes zeros), so every pack/mask/scatter
+        # feeding it is pure waste — at mesh (1,) that machinery alone cost
+        # 34.8% of per-chip throughput (MULTICHIP_PERF r4; VERDICT r4 weak
+        # #2).  All comm hooks below statically skip size-1 axes; a fully
+        # trivial mesh degrades to the exact single-chip pipeline under the
+        # shard_map wrapper.
+        self.live_axes = tuple(a for a, n in enumerate(self.mesh_shape)
+                               if n > 1)
+        self.trivial = not self.live_axes
         # boundary/interior transfer split (engine gates on defrag_every)
-        self.overlap = overlap
+        self.overlap = overlap and not self.trivial
         self.slabs = []
         for n in self.mesh_shape:
             assert cfg.grid_size % n == 0, (cfg.grid_size, n)
@@ -132,8 +142,8 @@ class HaloComm:
 
     # -- reductions ----------------------------------------------------
     def reduce_max(self, x):
-        for name, _dim in self.axes:
-            x = jax.lax.pmax(x, name)
+        for a in self.live_axes:
+            x = jax.lax.pmax(x, self.axes[a][0])
         return x
 
     # -- boundary/interior transfer split --------------------------------
@@ -154,7 +164,8 @@ class HaloComm:
         g = cfg.grid_size
         m = self.margin
         bound = jnp.zeros(keys.shape, bool)
-        for a, (_name, dim) in enumerate(self.axes):
+        for a in self.live_axes:
+            _name, dim = self.axes[a]
             if dim == 0:
                 c = keys // (g * g)
                 reach_lo, reach_hi = 0, 1          # scatter [c, c+1]
@@ -173,8 +184,8 @@ class HaloComm:
         """Static prefix capacity for boundary tiles, same philosophy as
         halo_capacity: geometric fraction x4 safety, loud overflow."""
         frac = 0.0
-        for a, (_name, dim) in enumerate(self.axes):
-            reach = 1 if dim == 0 else 8
+        for a in self.live_axes:
+            reach = 1 if self.axes[a][1] == 0 else 8
             frac += min(1.0, (2.0 * self.margin + reach) / self.slabs[a])
         cap = int(4.0 * min(frac, 1.0) * num_tiles)
         cap = max(cap, 4 * multiple)
@@ -195,10 +206,11 @@ class HaloComm:
 
     def _directions(self):
         """All nonzero neighbor offsets over the decomposed axes: 2 for a
-        1-D split, 8 (4 sides + 4 corners) for the 2-D (x, z) split."""
-        na = len(self.axes)
+        1-D split, 8 (4 sides + 4 corners) for the 2-D (x, z) split.
+        Size-1 axes have no neighbors and are pinned to step 0 (their
+        ppermutes would be empty-permutation zero-writes)."""
         dirs = []
-        steps = [(-1, 0, 1)] * na
+        steps = [(-1, 0, 1) if n > 1 else (0,) for n in self.mesh_shape]
         import itertools
         for d in itertools.product(*steps):
             if any(d):
@@ -299,6 +311,8 @@ class HaloComm:
 
         cfg = self.cfg
         n3 = cfg.grid_size ** 3
+        if not slabs[0]:                 # trivial mesh: nothing received
+            return None
         mask = jnp.zeros((n3,), jnp.bool_)
         for keys, bits, _rows in slabs[0]:
             has = (bits[:, None]
@@ -313,6 +327,8 @@ class HaloComm:
         not have active fall into the null row (they carry no mass for me by
         construction: the mass mask activated every massy received block)."""
         no = self.cfg.num_oct_keys
+        if not slabs[0]:                 # trivial mesh: nothing received
+            return pool
         for keys, _bits, rows in slabs[0]:
             slots = partition.table[jnp.minimum(keys, no)]
             slots = jnp.where(keys < no, slots, self.cfg.null_oct)
@@ -342,8 +358,9 @@ class HaloComm:
             pos, fields, pid = model.pos, dict(model.fields), model.pid
             active = model.active
             # one axis at a time: corner crossers move diagonally within a
-            # single call via two hops (x then z)
-            for a in range(len(self.axes)):
+            # single call via two hops (x then z); size-1 axes have no
+            # neighbor to ship to (particles can't leave a full-domain slab)
+            for a in self.live_axes:
                 dim = self.axes[a][1]
                 _, lo, hi = self._bounds(a)
 
@@ -477,6 +494,14 @@ class MultiChipEngine:
         self.tile_chunk = tile_chunk
         self.capacity_factor = particle_capacity_factor
         self.use_pallas = use_pallas
+        if use_pallas:
+            # SDF caches must exist before the sharded substep traces
+            # (same eager-build rule as MPMEngine)
+            for c in self.colliders:
+                if (not getattr(c, "pallas_ok", False)
+                        and hasattr(c, "oct_cache_ok")
+                        and c.oct_cache_ok(cfg)):
+                    c.build_oct_cache(cfg)
         # The P2G arena can scatter up to (arena_lo + arena_span - 1) block
         # layers past the slab boundary (and |arena_lo| before it), so the
         # exchanged window must be at least that wide or boundary mass leaks.

@@ -137,7 +137,13 @@ def validate_default_quantized() -> None:
     """The SHIPPING defaults (bf16 G2P arenas + bf16x3 dots + exact mass
     channel) vs the f32 oracle: mass must stay at f32 roundoff (the mass
     rows never run quantized), trajectories within the storage-quantization
-    budget.  This is the bound the default flagship bench runs under."""
+    budget.  This is the bound the default flagship bench runs under.
+
+    The oracle engine is PINNED to f32 arenas + exact dots: an oracle built
+    from the default config would itself run quantized on TPU and the mass
+    comparison would certify nothing (the r4 regression, ADVICE r4)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -146,11 +152,13 @@ def validate_default_quantized() -> None:
 
     cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
                         default_dt=2e-4)
+    ocfg = dataclasses.replace(cfg, g2p_arena_dtype="float32",
+                               mxu_precision="highest")
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
     pos = sample_uniform_box_world(cfg.dx, [0.4, 0.5, 0.4],
                                    [0.55, 0.65, 0.55], cfg.ppc)
     e_p = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=True)
-    e_x = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=False)
+    e_x = cmt.MPMEngine(ocfg, [mat], tile_chunk=8, use_pallas=False)
     s_p = e_p.init_state([pos], [(0.2, -0.4, 0.0)])
     s_x = e_x.init_state([pos], [(0.2, -0.4, 0.0)])
     fe = jnp.float32(1e9)
@@ -165,6 +173,48 @@ def validate_default_quantized() -> None:
     assert err < 1e-3, f"default-config cloud divergence {err:.2e}"
     print(f"default (bf16 arenas + bf16x3): mass rel {rel:.2e}, "
           f"cloud err {err:.2e} over 8 substeps")
+
+
+def validate_svd_materials() -> None:
+    """Sand + NACC through the COMPILED (Mosaic) kernel vs the XLA oracle:
+    the in-kernel Jacobi/Givens SVD path (models/materials.py) is the
+    lowering risk surface the elastic check can't see (reference
+    constitutive_models.cuh:78-335).  Exact config (f32 arenas + exact
+    dots) so any divergence is the kernel, not quantization."""
+    import jax
+    import jax.numpy as jnp
+
+    import claymore_tpu as cmt
+    from claymore_tpu.io.sampler import sample_uniform_box_world
+
+    cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
+                        default_dt=2e-4, g2p_arena_dtype="float32",
+                        mxu_precision="highest")
+    vol = cfg.default_volume()
+    for name, mat in (
+        ("sand", cmt.Sand(volume=vol, e=1e4, rho=1500.0)),
+        ("nacc", cmt.NACC(volume=vol, e=1e4)),
+    ):
+        pos = sample_uniform_box_world(cfg.dx, [0.4, 0.3, 0.4],
+                                       [0.55, 0.45, 0.55], cfg.ppc)
+        e_p = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=True)
+        e_x = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=False)
+        s_p = e_p.init_state([pos], [(0.1, -0.5, 0.0)])
+        s_x = e_x.init_state([pos], [(0.1, -0.5, 0.0)])
+        fe = jnp.float32(1e9)
+        s_p = e_p.run_steps(s_p, 10, fe)
+        s_x = e_x.run_steps(s_x, 10, fe)
+        jax.block_until_ready((s_p, s_x))
+        pp, px = e_p.get_positions(s_p), e_x.get_positions(s_x)
+        assert pp.shape == px.shape, (name, pp.shape, px.shape)
+        err = cloud_err(pp, px)
+        assert err < 5e-5, f"{name}: compiled-SVD cloud divergence {err:.2e}"
+        dp, dx_ = e_p.diagnostics(s_p), e_x.diagnostics(s_x)
+        rel = abs(dp["grid_mass"] - dx_["grid_mass"]) / max(
+            dx_["grid_mass"], 1e-30)
+        assert rel < 1e-5, f"{name}: grid mass differs {rel:.2e}"
+        print(f"{name}: {pp.shape[0]} particles, cloud err {err:.2e}, "
+              f"mass rel {rel:.2e} over 10 substeps")
 
 
 def smoke_domain10() -> None:
@@ -191,13 +241,14 @@ def smoke_domain10() -> None:
         d["grid_mass"], expected)
     assert d["block_overflow"] == 0
     print(f"domain_bits=10: {pos.shape[0]} particles, "
-          f"{d['active_blocks']} blocks, mass ok, t={d['t']:.5f}")
+          f"{d['active_octs']} octs, mass ok, t={d['t']:.5f}")
 
 
 if __name__ == "__main__":
     validate_pallas_vs_xla()
     validate_macro_chunked()
     validate_default_quantized()
+    validate_svd_materials()
     smoke_domain10()
     print("TPU validation: OK")
     sys.exit(0)

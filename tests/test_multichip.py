@@ -264,3 +264,65 @@ def test_2d_migration_diagonal():
     assert act[3].sum() > 0, "particles should reach the (1,1) shard"
     dm = multi.diagnostics(sm)
     assert abs(dm["grid_mass"] - n * mat.mass) < 1e-3 * n * mat.mass
+
+
+def test_mesh1_trivial_comm_matches_single_chip():
+    """A mesh of total size 1 must degrade to the EXACT single-chip
+    pipeline: every ppermute along a size-1 axis has an empty permutation
+    (writes zeros), so the r4 code paid the full halo pack/mask/migrate
+    machinery for nothing — 34.8% of per-chip throughput (MULTICHIP_PERF
+    r4).  The comm hooks now statically skip size-1 axes; this pins the
+    bit-level equivalence AND that the trivial flag engages."""
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256,
+                        default_dt=5e-4, rebucket_auto=True)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos, v0 = make_scene(cfg)
+
+    single = cmt.MPMEngine(cfg, [mat], tile_chunk=4)
+    multi = MultiChipEngine(cfg, [mat], n_devices=1, tile_chunk=4)
+    assert multi.comm.trivial
+    assert not multi.comm.overlap
+    assert multi.comm._directions() == []
+
+    s1 = single.init_state([pos], [v0])
+    sm = multi.init_state([pos], [v0])
+    frame_end = jnp.float32(1.0)
+    for _ in range(4):
+        s1 = single.substep(s1, frame_end)
+        sm = multi.substep(sm, frame_end)
+    assert abs(float(s1.dt) - float(sm.dt)) < 1e-10
+    p1 = np.asarray(single.get_positions(s1))
+    p2 = np.asarray(multi.get_positions(sm))
+    assert p1.shape == p2.shape
+    k1 = np.lexsort((p1[:, 2], p1[:, 1], p1[:, 0]))
+    k2 = np.lexsort((p2[:, 2], p2[:, 1], p2[:, 0]))
+    # identical pipeline -> bit-identical trajectories
+    assert np.max(np.abs(p1[k1] - p2[k2])) == 0.0
+
+
+def test_mixed_mesh_size1_axis_matches_single_chip():
+    """A (1, 2) mesh: the size-1 x axis must be statically skipped (no
+    empty-perm ppermutes, no x-boundary classification) while the z axis
+    carries the real halo protocol."""
+    cfg = cmt.SimConfig(domain_bits=5, max_active_blocks=256,
+                        default_dt=5e-4)
+    mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
+    pos, v0 = make_scene(cfg)
+    single = cmt.MPMEngine(cfg, [mat], tile_chunk=4)
+    multi = MultiChipEngine(cfg, [mat], mesh_shape=(1, 2), tile_chunk=4,
+                            migration_capacity=256)
+    assert multi.comm.live_axes == (1,)
+    assert all(d[0] == 0 for d in multi.comm._directions())
+    s1 = single.init_state([pos], [v0])
+    sm = multi.init_state([pos], [v0])
+    frame_end = jnp.float32(1.0)
+    for _ in range(4):
+        s1 = single.substep(s1, frame_end)
+        sm = multi.substep(sm, frame_end)
+    assert abs(float(s1.dt) - float(sm.dt)) < 1e-10
+    p1 = np.asarray(single.get_positions(s1))
+    p2 = np.asarray(multi.get_positions(sm))
+    assert p1.shape == p2.shape
+    k1 = np.lexsort((p1[:, 2], p1[:, 1], p1[:, 0]))
+    k2 = np.lexsort((p2[:, 2], p2[:, 1], p2[:, 0]))
+    assert np.max(np.abs(p1[k1] - p2[k2])) < 2e-6
