@@ -74,6 +74,16 @@ class SimConfig:
     # the chip executes (VERDICT r4 weak #5).  Never needed on TPU.
     force_mxu_split: bool = False
 
+    # --- G2P dot precision override (Pallas backend only) ---
+    # The G2P contraction's value operand is already quantized to bf16
+    # under the default arenas (2^-9 storage), so a 1-pass DEFAULT dot
+    # only adds a same-order 2^-8 truncation on the WEIGHT operand — and
+    # G2P carries no conservation invariant (mass is P2G-side, where the
+    # exact side dot lives).  None -> inherit mxu_precision.  Promoted
+    # per the round-5 lever sweep (PROF_LEVERS.json) with conservation /
+    # divergence evidence in SOAK_PRECISION.json.
+    g2p_dot_precision: str | None = None
+
     # --- G2P arena storage precision (Pallas backend only) ---
     # "bfloat16" stores the gathered grid-velocity windows in bf16, halving
     # the arena-temp HBM write + the kernel's streamed read (the G2P input

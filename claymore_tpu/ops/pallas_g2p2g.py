@@ -42,7 +42,8 @@ from ..models.materials import Material
 from ..core.types import ParticleModel
 
 
-def _dotp(cfg: SimConfig, a, b, precision: str | None = None):
+def _dotp(cfg: SimConfig, a, b, precision: str | None = None,
+          rhs_t: bool = False):
     """Matmul at the config's (or an overriding) precision.  Mosaic only
     implements the DEFAULT and HIGHEST dot precisions, so "high" (bf16x3,
     half the passes of HIGHEST at ~2^-21 relative error) is emulated with
@@ -51,21 +52,29 @@ def _dotp(cfg: SimConfig, a, b, precision: str | None = None):
     native f32 dot: the hardware is exact there, and skipping the manual
     split keeps the oracle-equivalence suite bit-tight — unless
     cfg.force_mxu_split pins the split on (the CPU-testable knob for the
-    bf16x3 + exact-mass interplay, VERDICT r4 weak #5)."""
+    bf16x3 + exact-mass interplay, VERDICT r4 weak #5).
+
+    ``rhs_t``: b is [n, k]; contract dim 1 of BOTH operands, i.e. a @ b.T
+    without materializing the transpose — the MXU streams the transposed
+    operand, where an explicit ``b.T`` pays a VPU lane/sublane relayout."""
     p = precision or cfg.mxu_precision
     f32 = jnp.float32
+    dn = (((1,), (1,)), ((), ())) if rhs_t else (((1,), (0,)), ((), ()))
+
+    def d(x, y, prec=None):
+        return jax.lax.dot_general(x, y, dimension_numbers=dn,
+                                   preferred_element_type=f32,
+                                   precision=prec)
+
     if p == "highest" or (jax.default_backend() != "tpu"
                           and not cfg.force_mxu_split):
-        return jnp.dot(a, b, preferred_element_type=f32,
-                       precision=jax.lax.Precision.HIGHEST)
+        return d(a, b, jax.lax.Precision.HIGHEST)
     if p == "default":
-        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                       preferred_element_type=f32)
+        return d(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
     ah = a.astype(jnp.bfloat16)
     al = (a - ah.astype(f32)).astype(jnp.bfloat16)
     bh = b.astype(jnp.bfloat16)
     bl = (b - bh.astype(f32)).astype(jnp.bfloat16)
-    d = lambda x, y: jnp.dot(x, y, preferred_element_type=f32)
     return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
@@ -141,6 +150,28 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
     gt = cfg.group_tiles                                  # 8
     gpp = chunk // gt                                     # groups / program
     ablate = _ablate()
+
+    # --- measured kernel micro-levers (defaults are the round-5 sweep
+    # winners, PROF_LEVERS.json / docs/benchmarks.md round 5; the env
+    # vars are subprocess A/B knobs for scripts/prof_levers.py) ---
+    import os as _os
+    # G2P dot precision override: the arena VALUES are already bf16
+    # (storage quantization 2^-9), so a 1-pass DEFAULT dot only adds a
+    # same-order 2^-8 truncation on the weight operand — and G2P carries
+    # no conservation invariant (mass is P2G-side).  Config field is the
+    # shipping control; the env var is the subprocess A/B knob.
+    g2p_dot_prec = (_os.environ.get("CLAYMORE_G2P_DOT")
+                    or cfg.g2p_dot_precision or None)
+    # P2G dot via dot_general contracting dim 1 of both operands (a @ b.T
+    # on the MXU, which streams the transposed operand for free) instead
+    # of materializing f.T through a VPU lane/sublane relayout.  Same
+    # contraction order, numerics-identical; measured 84.83 vs 90.68 ms
+    # at 12M.  Default ON.
+    p2g_dg = _os.environ.get("CLAYMORE_P2G_DG", "1") == "1"
+    # 13 live P2G channels (mass + 3 momentum + 9 affine) vs the 16 the
+    # round-4 layout padded with 3 always-zero rows (VERDICT r4 item 2):
+    # drops 19% of the P2G dot's M rows.  Default 13.
+    p2g_nch = int(_os.environ.get("CLAYMORE_P2G_CHANS", "13"))
 
     def kernel(*refs):
         if window_dma:
@@ -323,7 +354,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             ly = (lyi + origin[1]).astype(dtype) * cfg.dx
             lz = (lzi + origin[2]).astype(dtype) * cfg.dx
             a3 = jnp.concatenate([vflat, vflat * ly, vflat * lz], axis=0)
-            gcat = _dotp(cfg, a3, wyz)                    # [72, tile]
+            gcat = _dotp(cfg, a3, wyz, precision=g2p_dot_prec)  # [72, tile]
             if "g2pdot" in ablate:
                 gcat = jnp.zeros((72, tile), dtype)
 
@@ -397,16 +428,18 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             chans.extend(q1)
             chans.extend(q2)
             chans.extend(q3)
-            chans.extend([jnp.zeros((tile,), dtype)] * 3)
-            sv = jnp.stack(chans, axis=0) * okf           # [16, tile]
+            if p2g_nch > 13:
+                chans.extend([jnp.zeros((tile,), dtype)] * (p2g_nch - 13))
+            nch = len(chans)
+            sv = jnp.stack(chans, axis=0) * okf           # [nch, tile]
 
             # E rows (bx, ch, cx); F rows (by, bz, cy, cz)
             e_parts = []
             for dx in (0, 1):
                 uxb = wx2[dx * 4:(dx + 1) * 4]
                 e_parts.append(
-                    (sv[:, None, :] * uxb[None, :, :]).reshape(64, tile))
-            e = jnp.concatenate(e_parts, axis=0)          # [128, tile]
+                    (sv[:, None, :] * uxb[None, :, :]).reshape(4 * nch, tile))
+            e = jnp.concatenate(e_parts, axis=0)          # [8*nch, tile]
 
             def yz2(a, b):
                 parts = []
@@ -419,7 +452,10 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                 return jnp.concatenate(parts, axis=0)
 
             f = yz2(wy2, wz2)                             # [64, tile]
-            a16 = _dotp(cfg, e, f.T)                      # [128, 64]
+            if p2g_dg:
+                a16 = _dotp(cfg, e, f, rhs_t=True)        # [8*nch, 64]
+            else:
+                a16 = _dotp(cfg, e, f.T)                  # [8*nch, 64]
             # Under reduced transfer precision the mass channel is re-done
             # in a more precise side dot: total grid mass is the
             # conservation invariant the health checks pin, while the
@@ -433,10 +469,12 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             exact_mass = (cfg.mxu_precision != "highest"
                           and mass_mode != "off")
             if exact_mass:
-                e_mass = jnp.concatenate([e[0:4], e[64:68]], axis=0)
-                m8 = _dotp(cfg, e_mass, f.T, precision=mass_mode)  # [8, 64]
+                e_mass = jnp.concatenate(
+                    [e[0:4], e[4 * nch : 4 * nch + 4]], axis=0)
+                m8 = _dotp(cfg, e_mass, f if p2g_dg else f.T,
+                           precision=mass_mode, rhs_t=p2g_dg)     # [8, 64]
             if "p2gdot" in ablate:
-                a16 = jnp.zeros((128, 64), dtype)
+                a16 = jnp.zeros((8 * nch, 64), dtype)
                 if exact_mass:
                     m8 = jnp.zeros((8, 64), dtype)
 
@@ -449,7 +487,7 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
             rects = []
             for dx in (0, 1):
                 cxr = ((origin[0] + dx * 4 + iota4).astype(dtype) * cfg.dx)
-                base_r = dx * 64
+                base_r = dx * 4 * nch
                 rows = [m8[dx * 4 : (dx + 1) * 4] if exact_mass
                         else a16[base_r : base_r + 4]]    # mass
                 for c3 in range(3):
@@ -479,17 +517,22 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                     out_win_ref[gi, col, 1] += jnp.where(m1, r, 0.0)
 
         def _g2p_or_dead(i):
-            """Per-tile G2P gated on the tile key: group padding makes
-            ~15-25% of tiles inside live macro ranges DEAD (key = n3), and
-            each used to pay the full weight build + MXU dot anyway (the
-            dead-tail clamp only reaches tiles past the last live one).
-            The dead branch is a handful of zero materializations.  Mosaic
-            cond-with-results is touchy (probed on v5e, round 5): no ref
-            reads inside either region (pos and the group's window tiles
-            load unconditionally out here — VMEM loads are cheap and a
-            dead group's scratch garbage is discarded untouched), and
-            every result a same-dtype f32 vector (mixed i32/i1 results
-            tripped layout-inference asserts)."""
+            """Per-tile G2P, optionally gated on the tile key behind a
+            liveness cond (CLAYMORE_TILE_SKIP=1).  Group padding makes
+            ~15-25% of tiles inside live macro ranges DEAD (key = n3);
+            the cond replaces their weight build + MXU dot with a handful
+            of zero materializations — but the round-5 sweep measured the
+            cond STALLING Mosaic's software pipeline for more than the
+            dead compute costs (PROF_LEVERS.json: noskip 76.55 vs skip
+            78.95 ms at 12M/1.25-slack), so the default is unconditional
+            compute.  Correctness never depends on the cond: a dead
+            tile's G2P garbage (stale scratch windows, passthrough pos)
+            is fully masked downstream — fields by the tvb where, P2G by
+            the per-tile pl.when.  Mosaic cond-with-results is touchy
+            (probed on v5e, round 5): no ref reads inside either region
+            (pos and the group's window tiles load unconditionally out
+            here) and every result a same-dtype f32 vector (mixed i32/i1
+            results tripped layout-inference asserts)."""
             pos = pos_ref[:, i, :]                        # [3, tile]
             gi = i // gt
             wins = tuple(
@@ -506,11 +549,11 @@ def _make_kernel(cfg: SimConfig, material: Material, tile: int,
                         jnp.zeros((tile,), dtype))
 
             import os as _os
-            if _os.environ.get("CLAYMORE_TILE_SKIP", "1") == "0":
-                vel, a_soa, in_range_f = live()      # A/B measurement knob
-            else:
+            if _os.environ.get("CLAYMORE_TILE_SKIP", "0") == "1":
                 vel, a_soa, in_range_f = jax.lax.cond(keys[i] < n3, live,
                                                       dead)
+            else:
+                vel, a_soa, in_range_f = live()
             return pos, vel, a_soa, in_range_f
 
         def _compute():

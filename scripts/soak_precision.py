@@ -44,11 +44,12 @@ from claymore_tpu.core.engine import exact_tiles  # noqa: E402
 from claymore_tpu.io.sampler import sample_sphere  # noqa: E402
 
 
-def build(arena: str, mxu: str, quick: bool):
+def build(arena: str, mxu: str, quick: bool, g2p_dot: str | None = None):
     cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=8192,
                         default_dt=2e-4, rebucket_auto=True,
                         pallas_chunk=16, particle_tile=512,
-                        g2p_arena_dtype=arena, mxu_precision=mxu)
+                        g2p_arena_dtype=arena, mxu_precision=mxu,
+                        g2p_dot_precision=g2p_dot)
     radius = 0.08 if quick else 0.145
     pos = sample_sphere(cfg.dx, (0.5, 0.6, 0.5), radius, cfg.ppc)
     cfg = dataclasses.replace(cfg, max_tiles=exact_tiles(cfg, [pos], slack=1.4))
@@ -66,8 +67,9 @@ def cloud_err(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.max(np.abs(a[ka] - b[kb])))
 
 
-def soak(arena: str, mxu: str, frames: int, quick: bool, baseline=None):
-    eng, state, n, mat = build(arena, mxu, quick)
+def soak(arena: str, mxu: str, frames: int, quick: bool, baseline=None,
+         g2p_dot: str | None = None):
+    eng, state, n, mat = build(arena, mxu, quick, g2p_dot)
     total_mass = n * mat.mass
     rows = []
     clouds = [] if baseline is None else None
@@ -115,16 +117,21 @@ def main():
     out = {"backend": jax.default_backend(), "frames": frames}
     base, clouds = soak("float32", "highest", frames, quick)
     out["f32_highest"] = base
-    for arena, mxu, key in (
-        ("bfloat16", "highest", "bf16_highest"),
-        ("float32", "high", "f32_high"),
-        ("bfloat16", "high", "bf16_high"),
+    for arena, mxu, g2p_dot, key in (
+        ("bfloat16", "highest", None, "bf16_highest"),
+        ("float32", "high", None, "f32_high"),
+        ("bfloat16", "high", None, "bf16_high"),
+        # the round-5 candidate default: P2G stays bf16x3 + exact mass,
+        # G2P drops to a 1-pass DEFAULT dot (its value operand is already
+        # bf16 storage, so only the weight operand loses 2^-8)
+        ("bfloat16", "high", "default", "bf16_high_g2pdflt"),
         # 1-pass bf16 dots + exact mass channel: the transfer error
         # (~2^-9) matches the bf16 arena storage quantization order —
         # candidate fast default if momentum/divergence track the others
-        ("bfloat16", "default", "bf16_default"),
+        ("bfloat16", "default", None, "bf16_default"),
     ):
-        res, _ = soak(arena, mxu, frames, quick, baseline=clouds)
+        res, _ = soak(arena, mxu, frames, quick, baseline=clouds,
+                      g2p_dot=g2p_dot)
         res["max_cloud_err_vs_f32"] = max(
             r["cloud_err_vs_f32"] for r in res["frames"])
         out[key] = res

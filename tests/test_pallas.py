@@ -131,6 +131,37 @@ def test_forced_bf16x3_split_mass_exact():
     assert np.max(np.abs(p_d - p_o)) < 1e-3
 
 
+def test_g2p_default_dot_mass_exact():
+    """g2p_dot_precision="default" (1-pass bf16 G2P dot, the round-5 perf
+    lever) exercised OFF-hardware via force_mxu_split: G2P carries no
+    conservation invariant, so total mass must stay at f32 roundoff (the
+    P2G exact-mass side dot is untouched) and trajectories within the
+    combined bf16 storage + weight-truncation budget vs the f32 oracle."""
+    base = dict(domain_bits=5, max_active_blocks=256, default_dt=5e-4)
+    cfg_d = cmt.SimConfig(**base, force_mxu_split=True,
+                          g2p_dot_precision="default")
+    cfg_o = cmt.SimConfig(**base, g2p_arena_dtype="float32",
+                          mxu_precision="highest")
+    mat = cmt.JFluid(volume=cfg_d.default_volume())
+    pos = sample_uniform_box_world(cfg_d.dx, [0.45] * 3, [0.58] * 3,
+                                   cfg_d.ppc)
+    e_d = cmt.MPMEngine(cfg_d, [mat], tile_chunk=4, use_pallas="interpret")
+    e_o = cmt.MPMEngine(cfg_o, [mat], tile_chunk=4)
+    s_d = e_d.init_state([pos], [(0.2, -0.3, 0.1)])
+    s_o = e_o.init_state([pos], [(0.2, -0.3, 0.1)])
+    fe = jnp.float32(1.0)
+    for _ in range(2):
+        s_d = e_d.substep(s_d, fe)
+        s_o = e_o.substep(s_o, fe)
+    expected = pos.shape[0] * mat.mass
+    g = np.asarray(s_d.grid, np.float64)
+    rel = abs(g[:-1, 0:4].sum() - expected) / expected
+    assert rel < 1e-6, rel
+    p_d, p_o = e_d.get_positions(s_d), e_o.get_positions(s_o)
+    assert p_d.shape == p_o.shape
+    assert np.max(np.abs(p_d - p_o)) < 3e-3
+
+
 def test_xla_oracle_exact_mass_at_reduced_precision():
     """The XLA fallback path (SDF colliders / use_pallas=False) must keep
     the conservation invariant under the default reduced transfer
