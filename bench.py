@@ -110,6 +110,29 @@ def build(scene: str, quick: bool):
             from claymore_tpu.models.boundary import HalfSpace
             colliders = (HalfSpace((0.0, 0.12, 0.0), (0.25, 1.0, 0.0),
                                    kind="slip", friction=0.2),)
+    elif scene == "dambreak_sdf":
+        # the reference's flagship demos are SDF-collider scenes
+        # (dragon/bathtub, MGSP/mgmpm_kernels.cuh:363); this is the
+        # fast-grid-path proof for grid-sampled SDF colliders (VERDICT r4
+        # item 7): a 4.3M dam break against a procedural 128^3 SDF dome,
+        # resolved from the static per-cell oct cache inside the Pallas
+        # grid kernel (models/boundary.py build_oct_cache).
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, max_active_blocks=24576)
+        mats = [cmt.JFluid(volume=vol)]
+        parts = [sample_uniform_box_world(
+            cfg.dx, [0.1, 0.1, 0.1], [0.1 + span, 0.1 + 2 * span, 0.1 + 2 * span],
+            cfg.ppc)]
+        v0s = [(1.0, 0.0, 0.0)]
+        from claymore_tpu.models.boundary import SignedDistanceCollider
+        res, sdx = 128, 1.0 / 128
+        ax = (np.arange(res, dtype=np.float32) + 0.5) * sdx
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+        # solid dome (sphere cap) sitting on the floor in the flow's path
+        sdf = np.sqrt((X - 0.55) ** 2 + (Y - 0.02) ** 2
+                      + (Z - 0.35) ** 2) - 0.12
+        colliders = (SignedDistanceCollider(sdf, sdx, kind="slip",
+                                            friction=0.1),)
     elif scene == "sand":
         mats = [cmt.Sand(volume=vol, e=1e4, rho=1500.0)]
         parts = [sample_uniform_box_world(
@@ -277,9 +300,12 @@ def main():
                 json.dump({"ok": False, "error": repr(e)[:500]}, f)
     eng = cmt.MPMEngine(cfg, mats, colliders, tile_chunk=64,
                         use_pallas=(on_tpu and not xla_only))
+    # the real fast-path predicate (in-kernel analytic colliders AND
+    # oct-cached static SDF colliders both keep the Pallas grid kernel)
+    from claymore_tpu.ops.pallas_grid import kernel_colliders_ok
     grid_backend = (
-        "pallas" if eng.use_pallas
-        and all(getattr(c, "pallas_ok", False) for c in colliders) else "xla"
+        "pallas" if eng.use_pallas and kernel_colliders_ok(cfg, colliders)
+        else "xla"
     )
     n = sum(p.shape[0] for p in parts)
 
