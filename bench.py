@@ -201,6 +201,7 @@ def _write_validate_artifact(path="VALIDATE.json"):
         pal = cmt.MPMEngine(cfg, [mat], tile_chunk=8, use_pallas=True)
         v0 = [(0.2, -0.4, 0.1)]
         sr, sp = ref.init_state([pos], v0), pal.init_state([pos], v0)
+        pi_r, pi_p = ref.get_positions(sr), pal.get_positions(sp)
         fe = jnp.float32(1.0)
         for _ in range(4):
             sr = ref.substep(sr, fe)
@@ -212,6 +213,16 @@ def _write_validate_artifact(path="VALIDATE.json"):
         cloud = float(np.max(np.abs(pr[kr] - pp[kp]))) \
             if pr.shape == pp.shape else float("inf")
         expected = pos.shape[0] * mat.mass
+        # MOVEMENT invariant: a frozen kernel (every conservation number
+        # perfect, positions never advected) passed this gate for a full
+        # round — the r5 soak caught the transfer kernel freezing at the
+        # flagship geometry under a Mosaic cond miscompile while mass and
+        # momentum stayed bit-perfect (SOAK_PRECISION.json, round-5
+        # postmortem in docs/benchmarks.md).  The kernel's own
+        # displacement must track the oracle's, not just sit within the
+        # cloud tolerance.
+        disp_o = float(np.max(np.abs(pr - pi_r)))
+        disp_k = float(np.max(np.abs(pp - pi_p)))
         return {
             "grid_err": float(np.max(np.abs(gr - gp))),
             "grid_mass_rel": float(
@@ -220,6 +231,9 @@ def _write_validate_artifact(path="VALIDATE.json"):
             "mass_vs_analytic": float(
                 abs(gp[:-1, 0:4].sum() - expected) / expected),
             "cloud_err": cloud,
+            "displacement": disp_k,
+            "displacement_oracle": disp_o,
+            "moves": bool(disp_k > 0.5 * disp_o > 0.0),
             "particles": int(pos.shape[0]),
         }
 
@@ -242,17 +256,33 @@ def _write_validate_artifact(path="VALIDATE.json"):
     sand = run_pair(exact_cfg, cmt.Sand(volume=vol, e=1e4, rho=1500.0))
     nacc = run_pair(exact_cfg, cmt.NACC(volume=vol, e=1e4))
     svd_ok = all(r["cloud_err"] < 1e-5 and r["grid_err"] < 1e-4
-                 for r in (sand, nacc))
+                 and r["moves"] for r in (sand, nacc))
+    # (4) the FLAGSHIP kernel geometry (tile=512, chunk=16, db=7) under
+    # the shipping defaults.  The r5 freeze was geometry-dependent: the
+    # db=6/tile=256 pairs above compiled correctly while the flagship
+    # shape froze — a gate that never runs the shipping geometry
+    # certifies the wrong program.
+    flag_cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
+                             default_dt=2e-4, particle_tile=512,
+                             pallas_chunk=16)
+    flag = run_pair(flag_cfg)
     art = {
-        "check": "mosaic kernel vs f32 XLA oracle, 4 substeps, db=6",
+        "check": "mosaic kernel vs f32 XLA oracle, 4 substeps, "
+                 "db=6 + flagship geometry (db=7 tile=512 chunk=16)",
         "exact": exact,
         "default": dflt,
         "sand": sand,
         "nacc": nacc,
+        "flagship_geom": flag,
         "ok": bool(exact["cloud_err"] < 1e-5 and exact["grid_err"] < 1e-4
+                   and exact["moves"]
                    and dflt["grid_mass_rel"] < 1e-6
                    and dflt["mass_vs_analytic"] < 1e-6
-                   and dflt["cloud_err"] < 1e-3 and svd_ok),
+                   and dflt["cloud_err"] < 1e-3 and dflt["moves"]
+                   and flag["grid_mass_rel"] < 1e-6
+                   and flag["mass_vs_analytic"] < 1e-6
+                   and flag["cloud_err"] < 1e-3 and flag["moves"]
+                   and svd_ok),
     }
     with open(path, "w") as f:
         json.dump(art, f, indent=1)
@@ -311,6 +341,13 @@ def main():
 
     state = eng.init_state(parts, v0s)
     frame_end = jnp.float32(1e9)
+    # movement probe: sample the first 4096 particle positions now and
+    # after the measured window.  The r5 freeze postmortem
+    # (docs/benchmarks.md): a Mosaic miscompile can freeze advection while
+    # every conservation counter stays perfect, and a frozen sim performs
+    # the same per-step compute — i.e. a plausible-looking Mpps on dead
+    # physics.  The headline must carry its own liveness evidence.
+    probe0 = np.asarray(eng.get_positions(state))[:4096]
 
     # compile + warm up; force a REAL device sync (block_until_ready does not
     # reliably block on the axon remote backend)
@@ -347,6 +384,12 @@ def main():
     model_gbs = n * steps * bytes_pp / elapsed / 1e9
     # loud loss accounting in the recorded artifact: dropped particles or
     # block overflow would silently inflate throughput otherwise
+    # liveness: frozen physics keeps particle slots (and hence the probe
+    # slice) bit-stable, so max|dp|==0 exactly; any real simulation shows
+    # per-substep CFL-scale drift here.  (A rebucket permuting the slice
+    # only makes the displacement read larger — safe direction.)
+    probe1 = np.asarray(eng.get_positions(state))[:4096]
+    displacement = float(np.max(np.abs(probe1 - probe0)))
     alive = sum(int(np.asarray(m.active).sum()) for m in state.models)
     expected_mass = sum(p.shape[0] * m.mass for p, m in zip(parts, mats))
     grid_mass = float(np.asarray(state.grid)[:-1, 0:4].sum())
@@ -371,6 +414,8 @@ def main():
         "model_tflops": round(model_tflops, 3),
         "model_hbm_gbs": round(model_gbs, 1),
         "mass_rel_err": float(f"{mass_rel_err:.3e}"),
+        "displacement": float(f"{displacement:.4e}"),
+        "moves": bool(displacement > 0.0),
         "mxu_precision": cfg.mxu_precision,
         "g2p_arena_dtype": cfg.g2p_arena_dtype,
     }))

@@ -79,10 +79,13 @@ class SimConfig:
     # under the default arenas (2^-9 storage), so a 1-pass DEFAULT dot
     # only adds a same-order 2^-8 truncation on the WEIGHT operand — and
     # G2P carries no conservation invariant (mass is P2G-side, where the
-    # exact side dot lives).  None -> inherit mxu_precision.  Promoted
-    # per the round-5 lever sweep (PROF_LEVERS.json) with conservation /
-    # divergence evidence in SOAK_PRECISION.json.
-    g2p_dot_precision: str | None = None
+    # exact side dot lives).  None -> inherit mxu_precision.  "default"
+    # promoted per the round-5 lever sweep (PROF_LEVERS.json: ~4% of the
+    # 12M substep) with conservation / divergence evidence in
+    # SOAK_PRECISION.json (bf16_high_g2pdflt: momentum tracks the f32
+    # baseline through impact, cloud divergence same order as every
+    # other quantized variant, mass bit-exact).
+    g2p_dot_precision: str | None = "default"
 
     # --- G2P arena storage precision (Pallas backend only) ---
     # "bfloat16" stores the gathered grid-velocity windows in bf16, halving

@@ -71,6 +71,7 @@ def soak(arena: str, mxu: str, frames: int, quick: bool, baseline=None,
          g2p_dot: str | None = None):
     eng, state, n, mat = build(arena, mxu, quick, g2p_dot)
     total_mass = n * mat.mass
+    p_init = eng.get_positions(state)
     rows = []
     clouds = [] if baseline is None else None
     t0 = time.perf_counter()
@@ -98,11 +99,22 @@ def soak(arena: str, mxu: str, frames: int, quick: bool, baseline=None,
               + (f" cloud {row['cloud_err_vs_f32']:.3e}"
                  if baseline is not None else ""), flush=True)
     wall = time.perf_counter() - t0
+    # MOVEMENT assert: this soak is what caught the round-5 transfer
+    # freeze (a Mosaic cond miscompile at the flagship geometry left
+    # momentum pinned at n*m*v0 with perfect mass — every conservation
+    # check green on a simulation that never moved).  The dropped body
+    # must have fallen a macroscopic distance by the last frame.
+    displacement = float(np.max(np.abs(eng.get_positions(state) - p_init)))
+    assert displacement > 0.05, (
+        f"[{arena}/{mxu}/{g2p_dot}] FROZEN: max displacement "
+        f"{displacement:.2e} after {frames} frames of free fall"
+    )
     return {
-        "variant": f"arena={arena},mxu={mxu}",
+        "variant": f"arena={arena},mxu={mxu},g2p_dot={g2p_dot}",
         "particles": n,
         "frames": rows,
         "max_mass_rel_err": max(r["mass_rel_err"] for r in rows),
+        "displacement": displacement,
         "wall_s": round(wall, 2),
     }, clouds
 
