@@ -92,7 +92,12 @@ def build(scene: str, quick: bool):
         # the measured window (the sphere rebuilds every ~40-80)
         v0s = [(2.0, -2.0, 0.0)]
         import dataclasses as _dc2
-        cfg = _dc2.replace(cfg, max_tiles=_tight_tiles(cfg, parts, slack=1.5))
+        # slack 2.5, not the usual 1.25-1.5: the launched column SPREADS —
+        # at 1.5 the 2026-08-20 run dropped 765 tiles (1.36M particles,
+        # 11% of the mass) by the end of the measured window.  Occupancy
+        # grows with the collapse, so the capacity must cover the end
+        # state, not the init state; dropped_tiles stays the loud guard.
+        cfg = _dc2.replace(cfg, max_tiles=_tight_tiles(cfg, parts, slack=2.5))
         return cfg, mats, parts, v0s, colliders
     elif scene in ("dambreak", "dambreak_hs"):
         # 4.3M-particle fluid spreads over far more blocks than the solids
@@ -192,7 +197,8 @@ def _write_validate_artifact(path="VALIDATE.json"):
         # that bug: the oracle's own mass drifted at "high" and the gate
         # went permanently red, VERDICT r4 weak #1)
         ocfg = _dc.replace(cfg, g2p_arena_dtype="float32",
-                           mxu_precision="highest")
+                           mxu_precision="highest",
+                           g2p_dot_precision="highest")
         if mat is None:
             mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4,
                                      nu=0.3)
@@ -239,8 +245,14 @@ def _write_validate_artifact(path="VALIDATE.json"):
 
     base = cmt.SimConfig(domain_bits=6, max_active_blocks=512,
                          default_dt=2e-4)
+    # "exact" means EVERY reduced-precision knob pinned off: when the
+    # G2P dot default flipped to the 1-pass bf16 mode (6f13dc4) this pair
+    # silently kept quantizing and sat at 4.3e-5 against its own 1e-5
+    # bound — the second default-flip-breaks-the-gate incident in two
+    # rounds (bisect: scripts/bisect_cloud.py, /tmp/bisect_cloud.json)
     exact_cfg = _dc.replace(base, g2p_arena_dtype="float32",
-                            mxu_precision="highest")
+                            mxu_precision="highest",
+                            g2p_dot_precision="highest")
     # (1) bit-tight Mosaic lowering regression: f32 arenas + exact dots —
     # the kernel must match the oracle to f32 roundoff accumulation
     exact = run_pair(exact_cfg)
@@ -292,6 +304,10 @@ def _write_validate_artifact(path="VALIDATE.json"):
 def main():
     quick = "--quick" in sys.argv
     xla_only = "--xla" in sys.argv
+    # scene-matrix runs skip the gate (it runs with the flagship; a dozen
+    # last-write-wins rewrites of VALIDATE.json under a possibly-degraded
+    # remote worker add risk, not signal — see the 2026-08-20 postmortem)
+    nogate = "--nogate" in sys.argv
     scene = "sphere25m"
     precision = None
     arena = None
@@ -322,7 +338,7 @@ def main():
             kw["g2p_arena_dtype"] = {"bf16": "bfloat16"}.get(arena, arena)
         cfg = _dc.replace(cfg, **kw)
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and not quick and not xla_only:
+    if on_tpu and not quick and not xla_only and not nogate:
         try:
             _write_validate_artifact()
         except Exception as e:          # never block the bench number

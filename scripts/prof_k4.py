@@ -73,25 +73,34 @@ def scenes():
     return {"cube1m": cube, "dambreak4m": dam}
 
 
+def _flush(out):
+    with open("K4_JUSTIFY.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def main():
     out = {"device": str(jax.devices()[0])}
+    # each row flushes immediately: the 2026-08-20 run lost a whole scene
+    # when the XLA span-4 dambreak config CRASHED the remote TPU worker
+    # ("kernel fault") at readback — the pallas rows measured before it
+    # must survive, and the crash itself is evidence for the rejection
     for name, (mats, parts, v0s, cfg) in scenes().items():
         cfg = dataclasses.replace(
             cfg, max_tiles=exact_tiles(cfg, parts, slack=1.5))
         rows = {}
-        rows["pallas_auto"] = measure(
-            dataclasses.replace(cfg, rebucket_auto=True), mats, parts, v0s,
-            use_pallas=True)
-        rows["pallas_k2"] = measure(
-            dataclasses.replace(cfg, rebucket_every=2), mats, parts, v0s,
-            use_pallas=True)
-        rows["xla_k4"] = measure(
-            dataclasses.replace(cfg, rebucket_every=4), mats, parts, v0s,
-            use_pallas=False)
         out[name] = rows
-        print(name, json.dumps(rows), flush=True)
-    with open("K4_JUSTIFY.json", "w") as f:
-        json.dump(out, f, indent=1)
+        for key, over, pallas in (
+            ("pallas_auto", dict(rebucket_auto=True), True),
+            ("pallas_k2", dict(rebucket_every=2), True),
+            ("xla_k4", dict(rebucket_every=4), False),   # crash-prone: last
+        ):
+            try:
+                rows[key] = measure(dataclasses.replace(cfg, **over),
+                                    mats, parts, v0s, use_pallas=pallas)
+            except Exception as e:  # noqa: BLE001 — record, keep the rest
+                rows[key] = {"error": repr(e)[:200]}
+            _flush(out)
+            print(name, key, json.dumps(rows[key]), flush=True)
 
 
 if __name__ == "__main__":

@@ -49,7 +49,8 @@ def validate_pallas_vs_xla() -> None:
     # bf16 defaults are bounded separately (validate_default_quantized)
     cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
                         default_dt=2e-4, g2p_arena_dtype="float32",
-                        mxu_precision="highest")
+                        mxu_precision="highest",
+                        g2p_dot_precision="highest")
     mats = [
         cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3),
         cmt.JFluid(volume=cfg.default_volume()),
@@ -110,7 +111,8 @@ def validate_macro_chunked() -> None:
 
     cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
                         default_dt=2e-4, g2p_arena_dtype="float32",
-                        mxu_precision="highest")
+                        mxu_precision="highest",
+                        g2p_dot_precision="highest")
     cfg_scan = dataclasses.replace(cfg, pallas_macro_tiles=64,
                                    pallas_chunk=16)
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
@@ -153,7 +155,8 @@ def validate_default_quantized() -> None:
     cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
                         default_dt=2e-4)
     ocfg = dataclasses.replace(cfg, g2p_arena_dtype="float32",
-                               mxu_precision="highest")
+                               mxu_precision="highest",
+                        g2p_dot_precision="highest")
     mat = cmt.FixedCorotated(volume=cfg.default_volume(), e=1e4, nu=0.3)
     pos = sample_uniform_box_world(cfg.dx, [0.4, 0.5, 0.4],
                                    [0.55, 0.65, 0.55], cfg.ppc)
@@ -189,7 +192,8 @@ def validate_svd_materials() -> None:
 
     cfg = cmt.SimConfig(domain_bits=7, max_active_blocks=2048,
                         default_dt=2e-4, g2p_arena_dtype="float32",
-                        mxu_precision="highest")
+                        mxu_precision="highest",
+                        g2p_dot_precision="highest")
     vol = cfg.default_volume()
     for name, mat in (
         ("sand", cmt.Sand(volume=vol, e=1e4, rho=1500.0)),
